@@ -1,0 +1,86 @@
+"""CLI entry point — the spark-submit surface of the pipeline.
+
+Usage (local test / bench):
+
+    spark-submit --master local[32] --py-files dedup_spark.zip \
+        run_pipeline.py --turns /path/to/turns.parquet \
+        --warehouse /tmp/wh --report out.json
+
+or module-style with a plain python driver (SparkSession started here):
+
+    python -m dedup_spark --n-convs 2000 --warehouse /tmp/wh
+
+When --turns is omitted, a deterministic synthetic corpus (FIXTURES.md)
+of --n-convs conversations is generated and written next to the
+warehouse, so the same input can be re-used across parallelism levels
+for the scaling-efficiency measurement (BASELINE.md protocol).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="dedup_spark")
+    ap.add_argument("--turns", help="parquet path of the turns table")
+    ap.add_argument("--n-convs", type=int, default=2000,
+                    help="synthetic corpus size when --turns is omitted")
+    ap.add_argument("--warehouse", required=True, help="stage-table warehouse dir")
+    ap.add_argument("--master", default=None, help="spark master (default local[$SPARK_GRAFT_CPUS])")
+    ap.add_argument("--shingle-k", type=int, default=17)
+    ap.add_argument("--auto-df-band", action="store_true")
+    ap.add_argument("--report", help="write a one-line JSON run report here")
+    args = ap.parse_args(argv)
+
+    from dedup_spark.config import DedupConfig
+    from dedup_spark.pipeline import DedupPipeline
+    from dedup_spark.session import get_spark
+
+    cfg = DedupConfig(shingle_k=args.shingle_k, auto_df_band=args.auto_df_band)
+    spark = get_spark(master=args.master, app_name="dedup_spark_cli")
+
+    turns_path = args.turns
+    if not turns_path:
+        from dedup_spark.corpus import CorpusSpec, generate_corpus
+
+        turns_path = os.path.join(args.warehouse, "_input_turns.parquet")
+        if not os.path.isdir(turns_path):
+            turns_pdf, _, _ = generate_corpus(CorpusSpec(n_convs=args.n_convs))
+            spark.createDataFrame(turns_pdf).repartition(32).write.mode(
+                "overwrite"
+            ).parquet(turns_path)
+
+    turns = spark.read.parquet(turns_path)
+    t0 = time.monotonic()
+    res = DedupPipeline(spark, cfg, args.warehouse).run(turns)
+    n_turns = turns.count()
+    n_out = res.deduped_turns.count()
+    wall = time.monotonic() - t0
+    report = {
+        "n_turns_in": n_turns,
+        "n_turns_out": n_out,
+        "n_clusters": res.clusters.select("cluster_id").distinct().count(),
+        "n_verified_pairs": res.verified_pairs.count(),
+        "skewed_buckets": res.skew_report.count(),
+        "df_band": list(res.df_band),
+        "wall_sec": round(wall, 3),
+        "turns_per_sec": round(n_turns / wall, 1),
+        "master": spark.sparkContext.master,
+    }
+    line = json.dumps(report)
+    print(line)
+    if args.report:
+        with open(args.report, "w") as f:
+            f.write(line + "\n")
+    res.metrics.show(32, False)
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

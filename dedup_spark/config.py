@@ -1,0 +1,77 @@
+"""Pipeline configuration.
+
+Parity constants trace to the reference CLI defaults
+(/root/reference/dedup/dedup.py:513-646); each field cites its source.
+A config fingerprint keys checkpoint resume: stages are only reused when
+the fingerprint they were written under matches (the analog of the
+reference's skip-if-exists file cache, kmer_utilities.py:111-118,
+hardened against stale outputs).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from dataclasses import asdict, dataclass, field
+
+
+@dataclass(frozen=True)
+class DedupConfig:
+    # --- shingling (k-mer analog) ---
+    shingle_k: int = 17          # ref kmer_size, dedup.py:542
+    shingle_unit: str = "char"   # "char" | "token"
+
+    # --- signatures ---
+    num_perm: int = 128          # ref MinHash num_perm, dedup.py:333
+    bands: int = 64              # b*r must equal num_perm; recall-first
+    rows_per_band: int = 2       # banding (LSH thr ≈ (1/b)^(1/r) ≈ .125),
+                                 # the analog of the reference's 20×-loose
+                                 # LSH threshold (dedup.py:333):
+                                 # P(candidate) = 1-(1-J^2)^64 ≈ .998 @ J=.3
+    simhash_bits: int = 64
+
+    # --- informative-shingle DF band (duplicated-kmer analog) ---
+    df_lo: int = 2               # ref duplicate_kmer_lower_count, dedup.py:604
+    df_hi: int = 4               # ref duplicate_kmer_upper_count, dedup.py:610
+    auto_df_band: bool = False   # spectrum-fit analog (kmer_spectrum.py:146-227):
+                                 # pick df_hi from the DF histogram instead
+
+    # --- verification ---
+    verify_containment: float = 0.2   # ref containment_threshold, dedup.py:592
+    lsh_slack: float = 20.0           # ref LSH thr = containment/20, dedup.py:333
+    containment_plus1: bool = True    # ref +1 denominators, dedup.py:363-364
+    use_simhash_filter: bool = True
+    simhash_hamming_max: int = 26     # lenient pre-filter; recall-first
+                                      # (random pairs sit at ~32±4)
+
+    # --- dedup decision / substring stage ---
+    full_dup_threshold: float = 0.9   # ref full_duplication_threshold, dedup.py:586
+    end_buffer: int = 25000           # ref end_buffer, dedup.py:598
+    max_gap: int = 25000              # ref alignment_max_gap, dedup.py:616
+    match_weight: float = 0.2         # ref alignment_match_weight, dedup.py:622
+    min_coverage: float = 0.2         # ref alignment_min_coverage, dedup.py:628
+    min_doc_len: int = 0              # analog of min_sequence_len=5000
+                                      # (contig.py:51); off for transcripts
+
+    # --- scale / skew handling ---
+    max_band_bucket: int = 200   # cap on LSH bucket size; oversized buckets
+                                 # are dropped WITH a logged skew report
+    cc_max_iters: int = 50       # hash-to-min fixpoint guard
+
+    # --- misc ---
+    seed: int = 42
+    stats_epsilon: float = 1e-6  # ref stats epsilon, dedup.py:183
+
+    def __post_init__(self) -> None:
+        if self.bands * self.rows_per_band != self.num_perm:
+            raise ValueError(
+                f"bands*rows_per_band ({self.bands}*{self.rows_per_band}) "
+                f"!= num_perm ({self.num_perm})"
+            )
+        if self.shingle_unit not in ("char", "token"):
+            raise ValueError(f"bad shingle_unit {self.shingle_unit!r}")
+
+    def fingerprint(self) -> str:
+        """Stable hash of the config, used to validate checkpoint reuse."""
+        payload = json.dumps(asdict(self), sort_keys=True, default=str)
+        return hashlib.md5(payload.encode()).hexdigest()[:16]

@@ -1,0 +1,177 @@
+"""Vectorized numpy kernels: shingling, MinHash, SimHash, LSH banding.
+
+These kernels are the single source of truth shared by
+
+* the Spark pandas/Arrow UDFs (``dedup_spark.functions.udfs``), and
+* the single-process oracle (``dedup_spark.oracle``) used to measure
+  dup-pair recall, mirroring the reference's datasketch-based MinHash
+  (/root/reference/dedup/dedup.py:310-316) without the library.
+
+Everything operates on uint64 with natural modulo-2^64 wraparound and is
+fully vectorized (no per-element Python) — the north-star's "no per-row
+Python" constraint applied at the numpy level too.
+
+Spark's LongType is signed; kernels therefore RETURN int64 views of the
+underlying uint64 values.  All order-sensitive math (MinHash min) is done
+in uint64 space before the final view.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+U64 = np.uint64
+_MASK = U64(0xFFFFFFFFFFFFFFFF)
+
+# splitmix64 constants (public domain, Steele et al.)
+_SM_GAMMA = U64(0x9E3779B97F4A7C15)
+_SM_M1 = U64(0xBF58476D1CE4E5B9)
+_SM_M2 = U64(0x94D049BB133111EB)
+
+_POLY_BASE = U64(1099511628211)  # FNV-64 prime as polynomial base
+
+
+def splitmix64(x: np.ndarray) -> np.ndarray:
+    """Bijective 64-bit finalizer; input/output uint64 arrays."""
+    x = (x + _SM_GAMMA) & _MASK
+    x = ((x ^ (x >> U64(30))) * _SM_M1) & _MASK
+    x = ((x ^ (x >> U64(27))) * _SM_M2) & _MASK
+    return x ^ (x >> U64(31))
+
+
+def _poly_powers(k: int) -> np.ndarray:
+    p = np.empty(k, dtype=U64)
+    with np.errstate(over="ignore"):
+        p[k - 1] = U64(1)
+        for i in range(k - 2, -1, -1):
+            p[i] = (p[i + 1] * _POLY_BASE) & _MASK
+    return p
+
+
+_POW_CACHE: dict[int, np.ndarray] = {}
+
+
+def char_shingles(text: str, k: int) -> np.ndarray:
+    """Distinct hashed k-character shingles of ``text`` → sorted int64[].
+
+    Analog of KMC k-mer enumeration (reference kmer_utilities.py:89-120):
+    every length-k byte window, polynomial-hashed then splitmix64-mixed.
+    Texts shorter than k yield an empty array (empty-set guard analog,
+    reference dedup.py:350).
+    """
+    b = np.frombuffer(text.encode("utf-8", "surrogatepass"), dtype=np.uint8)
+    n = b.shape[0]
+    if n < k:
+        return np.empty(0, dtype=np.int64)
+    if k not in _POW_CACHE:
+        _POW_CACHE[k] = _poly_powers(k)
+    pows = _POW_CACHE[k]
+    win = np.lib.stride_tricks.sliding_window_view(b, k).astype(U64)
+    h = (win * pows[None, :]).sum(axis=1, dtype=U64)
+    return np.sort(np.unique(splitmix64(h)).view(np.int64))
+
+
+def token_shingles(text: str, k: int) -> np.ndarray:
+    """Distinct hashed k-token shingles (whitespace tokens) → sorted int64[]."""
+    toks = text.split()
+    if len(toks) < k:
+        return np.empty(0, dtype=np.int64)
+    th = np.fromiter(
+        (hash_bytes(t.encode("utf-8", "surrogatepass")) for t in toks),
+        dtype=U64,
+        count=len(toks),
+    )
+    win = np.lib.stride_tricks.sliding_window_view(th, k)
+    if k not in _POW_CACHE:
+        _POW_CACHE[k] = _poly_powers(k)
+    pows = _POW_CACHE[k]
+    h = (win * pows[None, :]).sum(axis=1, dtype=U64)
+    return np.sort(np.unique(splitmix64(h)).view(np.int64))
+
+
+def hash_bytes(data: bytes) -> np.uint64:
+    """Polynomial+splitmix hash of a byte string → uint64 scalar."""
+    b = np.frombuffer(data, dtype=np.uint8).astype(U64)
+    if b.shape[0] == 0:
+        return splitmix64(np.array([U64(0)], dtype=U64))[0]
+    acc = U64(0)
+    # Horner, vectorized as powers dot product
+    pows = _poly_powers(b.shape[0]) if b.shape[0] not in _POW_CACHE else _POW_CACHE[b.shape[0]]
+    acc = (b * pows).sum(dtype=U64)
+    return splitmix64(np.array([acc], dtype=U64))[0]
+
+
+def minhash_params(num_perm: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
+    """Deterministic (a, b) multiply-shift parameters; a forced odd."""
+    rng = np.random.Generator(np.random.PCG64(seed))
+    a = rng.integers(1, 1 << 63, size=num_perm, dtype=np.uint64) | U64(1)
+    b = rng.integers(0, 1 << 63, size=num_perm, dtype=np.uint64)
+    return a, b
+
+
+def minhash_signature(shingles: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """128-perm MinHash of a shingle set → int64[num_perm].
+
+    h_i(x) = (a_i * x + b_i) mod 2^64, signature_i = min over the set.
+    Analog of datasketch MinHash(num_perm=128), reference dedup.py:313-316.
+    Empty set → all-ones sentinel (never collides with real minima in a
+    band join because empty docs are filtered before banding).
+    """
+    num_perm = a.shape[0]
+    if shingles.shape[0] == 0:
+        return np.full(num_perm, -1, dtype=np.int64)
+    # pre-mix so the family stays uniform even for structured inputs
+    s = splitmix64(np.ascontiguousarray(shingles).view(U64))
+    # chunk the shingle axis to bound the num_perm × |S| temporary
+    chunk = max(1, 1_048_576 // num_perm)
+    out = np.full(num_perm, _MASK, dtype=U64)
+    for i in range(0, s.shape[0], chunk):
+        block = s[i : i + chunk]
+        hv = (a[:, None] * block[None, :] + b[:, None]) & _MASK
+        np.minimum(out, hv.min(axis=1), out=out)
+    return out.view(np.int64)
+
+
+def simhash_signature(shingles: np.ndarray) -> int:
+    """64-bit SimHash of a shingle set → python int (int64 range).
+
+    Per-bit majority vote over the shingle hashes (north-star Hamming
+    filter; no reference analog — new capability).
+    """
+    if shingles.shape[0] == 0:
+        return 0
+    # pre-mix so per-bit votes are unbiased even for structured inputs
+    s = splitmix64(np.ascontiguousarray(shingles).view(U64))
+    bits = np.unpackbits(s[:, None].view(np.uint8), axis=1, bitorder="little")
+    votes = bits.sum(axis=0, dtype=np.int64)
+    maj = (votes * 2 > s.shape[0]).astype(np.uint8)
+    packed = np.packbits(maj, bitorder="little").view(U64)[0]
+    return int(packed.view(np.int64))
+
+
+def band_hashes(signature: np.ndarray, bands: int, rows_per_band: int) -> np.ndarray:
+    """LSH band hashes → int64[bands].
+
+    band_hash_j = mix of the band's r signature values and the band id —
+    the banding analog of MinHashLSHEnsemble bucketing (reference
+    dedup.py:333-351).
+    """
+    sig = signature.view(U64).reshape(bands, rows_per_band)
+    acc = np.full(bands, U64(0xCBF29CE484222325), dtype=U64)
+    for r in range(rows_per_band):
+        acc = splitmix64(acc ^ sig[:, r])
+    acc = splitmix64(acc ^ np.arange(bands, dtype=U64))
+    return acc.view(np.int64)
+
+
+def hamming64(a: int, b: int) -> int:
+    """Hamming distance between two 64-bit signatures."""
+    return int(bin((int(a) ^ int(b)) & 0xFFFFFFFFFFFFFFFF).count("1"))
+
+
+def shingle_fn(unit: str):
+    if unit == "char":
+        return char_shingles
+    if unit == "token":
+        return token_shingles
+    raise ValueError(f"bad shingle unit {unit!r}")

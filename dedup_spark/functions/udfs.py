@@ -1,0 +1,64 @@
+"""Pandas/Arrow UDF factories wrapping the numpy kernels.
+
+All UDFs are vectorized over Arrow record batches (north-star: no
+per-row Python). Each factory closes over config values so the UDF
+payload shipped to executors is small and deterministic.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from dedup_spark.config import DedupConfig
+from dedup_spark.functions import hashing
+
+
+def make_shingle_udf(cfg: DedupConfig):
+    """text → array<long> of distinct hashed k-shingles.
+
+    Analog of KMC k-mer enumeration (reference kmer_utilities.py:89-120).
+    """
+    k = cfg.shingle_k
+    fn = hashing.shingle_fn(cfg.shingle_unit)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def shingle_udf(texts: pd.Series) -> pd.Series:
+        return texts.map(lambda t: fn(t if t is not None else "", k))
+
+    return shingle_udf
+
+
+_SIG_SCHEMA = T.StructType(
+    [
+        T.StructField("minhash", T.ArrayType(T.LongType())),
+        T.StructField("simhash", T.LongType()),
+        T.StructField("bands", T.ArrayType(T.LongType())),
+    ]
+)
+
+
+def make_signature_udf(cfg: DedupConfig):
+    """array<long> shingles → struct(minhash, simhash, bands).
+
+    MinHash analog of datasketch MinHash(num_perm=128), reference
+    dedup.py:310-316; band hashes replace the MinHashLSHEnsemble index
+    (dedup.py:333-345); SimHash is the north-star Hamming filter.
+    """
+    num_perm, bands, rows = cfg.num_perm, cfg.bands, cfg.rows_per_band
+    a, b = hashing.minhash_params(num_perm, cfg.seed)
+
+    @F.pandas_udf(_SIG_SCHEMA)
+    def signature_udf(shingle_sets: pd.Series) -> pd.DataFrame:
+        mh, sh, bh = [], [], []
+        for s in shingle_sets:
+            arr = np.asarray(s, dtype=np.int64)
+            sig = hashing.minhash_signature(arr, a, b)
+            mh.append(sig)
+            sh.append(hashing.simhash_signature(arr))
+            bh.append(hashing.band_hashes(sig, bands, rows))
+        return pd.DataFrame({"minhash": mh, "simhash": sh, "bands": bh})
+
+    return signature_udf

@@ -1,0 +1,72 @@
+"""Iterative connected components (hash-to-min) over verified pairs.
+
+The reference marks duplicates pairwise and implicitly (dedup.py:164-187);
+the north rule makes clusters explicit via a hash-to-min label
+propagation loop:
+
+    label(v) ← min( label(v), min over neighbors u of label(u) )
+
+repeated until fixpoint. Labels start as the node's own id, so the
+converged label of every node is the minimum conv_id in its component —
+deterministic and order-independent.
+
+Catalyst has no fixpoint operator, so the loop is driver-orchestrated:
+each iteration is one shuffle join (labels ⋈ symmetric edges) + one
+groupBy min; ``localCheckpoint`` after every iteration truncates the
+lineage so plans don't grow unboundedly (the Iceberg-table-per-iteration
+variant swaps localCheckpoint for a catalog write). Convergence is
+O(diameter) iterations for hash-to-min; a max-iteration guard protects
+against pathological graphs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def connected_components(
+    nodes: DataFrame, edges: DataFrame, max_iters: int = 50
+) -> DataFrame:
+    """nodes(conv_id) + edges(conv_a, conv_b) → (conv_id, cluster_id).
+
+    cluster_id = min conv_id in the component; isolated nodes label
+    themselves.
+    """
+    sym = (
+        edges.select(F.col("conv_a").alias("src"), F.col("conv_b").alias("dst"))
+        .union(edges.select(F.col("conv_b").alias("src"), F.col("conv_a").alias("dst")))
+        .dropDuplicates(["src", "dst"])
+        .localCheckpoint(eager=True)
+    )
+    labels = nodes.select(
+        F.col("conv_id"), F.col("conv_id").alias("cluster_id")
+    ).localCheckpoint(eager=True)
+
+    for _ in range(max_iters):
+        # label each dst with the (current) min label among its neighbors
+        neighbor_min = (
+            sym.join(labels, sym.src == labels.conv_id)
+            .groupBy("dst")
+            .agg(F.min("cluster_id").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.conv_id == neighbor_min.dst, "left")
+            .select(
+                "conv_id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce("nbr_label", F.col("cluster_id"))
+                ).alias("cluster_id"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "conv_id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels

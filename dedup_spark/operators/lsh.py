@@ -1,0 +1,83 @@
+"""Signatures → LSH bands → candidate pairs, with explicit skew handling.
+
+Analog of the reference's MinHashLSHEnsemble index+query
+(/root/reference/dedup/dedup.py:318-359): instead of an in-memory index,
+signatures explode into (band_id, band_hash) rows and candidates come
+from a band self-join — the distributed formulation of "two docs share
+an LSH bucket".
+
+Skew (north-rule requirement, SURVEY.md §4 item 1): boilerplate-heavy
+corpora make Zipfian band buckets; a bucket of size m yields m(m-1)/2
+pairs, so one mega-bucket can dominate the whole job. Mitigations, in
+order:
+
+1. the informative-DF upper cutoff upstream removes boilerplate
+   shingles before they reach signatures (primary defence);
+2. buckets larger than ``cfg.max_band_bucket`` are excluded from the
+   self-join and REPORTED (skew_report stage) — never silently;
+3. AQE skew-join splitting handles residual imbalance at runtime.
+
+The band self-join is an equi-join on (band_id, band_hash): Catalyst
+plans a shuffle hash/sort-merge join partitioned by the band key, so
+pair generation is fully distributed and never collects to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from dedup_spark.config import DedupConfig
+from dedup_spark.functions.udfs import make_signature_udf
+
+
+def compute_signatures(informative_sets: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """(conv_id, shingles) → (conv_id, shingles, n_shingles, minhash,
+    simhash, bands). Narrow (no shuffle): one Arrow-batched UDF pass."""
+    udf = make_signature_udf(cfg)
+    nonempty = informative_sets.filter(F.size("shingles") > 0)
+    return nonempty.withColumn("sig", udf(F.col("shingles"))).select(
+        "conv_id",
+        "shingles",
+        F.size("shingles").alias("n_shingles"),
+        F.col("sig.minhash").alias("minhash"),
+        F.col("sig.simhash").alias("simhash"),
+        F.col("sig.bands").alias("bands"),
+    )
+
+
+def explode_bands(signatures: DataFrame) -> DataFrame:
+    """signatures → (conv_id, band_id, band_hash)."""
+    return signatures.select(
+        "conv_id", F.posexplode("bands").alias("band_id", "band_hash")
+    )
+
+
+def band_bucket_sizes(bands: DataFrame) -> DataFrame:
+    return bands.groupBy("band_id", "band_hash").agg(
+        F.count(F.lit(1)).alias("bucket_size")
+    )
+
+
+def skew_report(bucket_sizes: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """Buckets exceeding the cap — logged, never silently dropped."""
+    return bucket_sizes.filter(F.col("bucket_size") > cfg.max_band_bucket)
+
+
+def candidate_pairs(
+    bands: DataFrame, bucket_sizes: DataFrame, cfg: DedupConfig
+) -> DataFrame:
+    """Band self-join within capped buckets → canonical (conv_a < conv_b)
+    distinct pairs (ordering analog of reference dedup.py:373-378,
+    contig.py:201-202)."""
+    ok_buckets = bucket_sizes.filter(
+        (F.col("bucket_size") > 1) & (F.col("bucket_size") <= cfg.max_band_bucket)
+    ).select("band_id", "band_hash")
+    b = bands.join(ok_buckets, ["band_id", "band_hash"])
+    left = b.select("band_id", "band_hash", F.col("conv_id").alias("conv_a"))
+    right = b.select("band_id", "band_hash", F.col("conv_id").alias("conv_b"))
+    return (
+        left.join(right, ["band_id", "band_hash"])
+        .filter(F.col("conv_a") < F.col("conv_b"))  # self-match removal + canon
+        .select("conv_a", "conv_b")
+        .dropDuplicates(["conv_a", "conv_b"])
+    )

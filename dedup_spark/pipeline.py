@@ -1,0 +1,136 @@
+"""End-to-end dedup pipeline orchestration with checkpoint/resume.
+
+Stage graph (each stage a StageCatalog checkpoint; names are the resume
+keys — the distributed analog of the reference's skip-if-exists file
+caching, dedup.py:439-443):
+
+  turns ─► transcripts ─► shingle_sets ─► shingle_df ─► df_histogram
+                    │                        │
+                    └────────► informative ◄─┘
+                                   │
+                               signatures ─► bands ─► bucket_sizes
+                                   │                     │     │
+                                   │              skew_report  │
+                                   │                           ▼
+                                   ├──────────────► candidate_pairs
+                                   ▼                           │
+                              verified_pairs ◄─────────────────┘
+                                   │
+                                clusters ─► deduped_turns + stats
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from dedup_spark.catalog import StageCatalog
+from dedup_spark.config import DedupConfig
+from dedup_spark.operators import lsh, shingling, verify
+from dedup_spark.operators.connected_components import connected_components
+from dedup_spark.operators.transcripts import assemble_transcripts
+
+
+@dataclass
+class PipelineResult:
+    transcripts: DataFrame
+    signatures: DataFrame
+    candidate_pairs: DataFrame
+    verified_pairs: DataFrame
+    clusters: DataFrame
+    deduped_turns: DataFrame
+    stats: DataFrame
+    skew_report: DataFrame
+    metrics: DataFrame
+    df_band: tuple[int, int]
+
+
+class DedupPipeline:
+    def __init__(self, spark: SparkSession, cfg: DedupConfig, warehouse: str):
+        self.spark = spark
+        self.cfg = cfg
+        os.makedirs(warehouse, exist_ok=True)
+        self.catalog = StageCatalog(spark, warehouse, cfg.fingerprint())
+
+    def run(self, turns: DataFrame) -> PipelineResult:
+        cfg, cat = self.cfg, self.catalog
+
+        transcripts = cat.stage("transcripts", lambda: assemble_transcripts(turns))
+        sets_df = cat.stage("shingle_sets", lambda: shingling.shingle_sets(transcripts, cfg))
+        exploded = shingling.exploded_shingles(sets_df)  # cheap view, not checkpointed
+        shingle_df = cat.stage(
+            "shingle_df", lambda: shingling.shingle_document_frequency(exploded)
+        )
+        hist = cat.stage("df_histogram", lambda: shingling.df_histogram(shingle_df))
+        lo, hi = shingling.pick_df_band(
+            [(r["df"], r["n_shingles"]) for r in hist.collect()], cfg
+        )
+        informative = cat.stage(
+            "informative_sets",
+            lambda: shingling.informative_shingle_sets(exploded, shingle_df, lo, hi),
+        )
+        signatures = cat.stage(
+            "signatures", lambda: lsh.compute_signatures(informative, cfg)
+        )
+        bands = cat.stage("bands", lambda: lsh.explode_bands(signatures))
+        bucket_sizes = cat.stage("bucket_sizes", lambda: lsh.band_bucket_sizes(bands))
+        skew = cat.stage("skew_report", lambda: lsh.skew_report(bucket_sizes, cfg))
+        candidates = cat.stage(
+            "candidate_pairs", lambda: lsh.candidate_pairs(bands, bucket_sizes, cfg)
+        )
+        verified = cat.stage(
+            "verified_pairs", lambda: verify.verify_pairs(candidates, signatures, cfg)
+        )
+        clusters = cat.stage(
+            "clusters",
+            lambda: connected_components(
+                transcripts.select("conv_id"),
+                verified.select("conv_a", "conv_b"),
+                cfg.cc_max_iters,
+            ),
+        )
+        deduped = cat.stage("deduped_turns", lambda: self._emit(turns, clusters))
+        stats = cat.stage(
+            "stats", lambda: self._stats(transcripts, signatures, clusters)
+        )
+        return PipelineResult(
+            transcripts=transcripts,
+            signatures=signatures,
+            candidate_pairs=candidates,
+            verified_pairs=verified,
+            clusters=clusters,
+            deduped_turns=deduped,
+            stats=stats,
+            skew_report=skew,
+            metrics=cat.metrics_df(),
+            df_band=(lo, hi),
+        )
+
+    @staticmethod
+    def _emit(turns: DataFrame, clusters: DataFrame) -> DataFrame:
+        """Keep the cluster representative (min conv_id = its own label),
+        drop the rest; surviving rows pass through verbatim (per-turn
+        text equality invariant — we never rewrite text). Analog of the
+        final FASTA emit, reference dedup.py:177-187."""
+        dropped = clusters.filter(F.col("conv_id") != F.col("cluster_id")).select(
+            "conv_id"
+        )
+        return turns.join(dropped, "conv_id", "left_anti")
+
+    @staticmethod
+    def _stats(
+        transcripts: DataFrame, signatures: DataFrame, clusters: DataFrame
+    ) -> DataFrame:
+        """Per-conversation stats (analog of {prefix}_stats.csv +
+        deduplicated_stats.csv, reference dedup.py:418-422,178-187)."""
+        return (
+            transcripts.select("conv_id", "n_turns", "doc_len")
+            .join(signatures.select("conv_id", "n_shingles"), "conv_id", "left")
+            .join(clusters, "conv_id", "left")
+            .withColumn("n_shingles", F.coalesce("n_shingles", F.lit(0)))
+            .withColumn(
+                "is_representative", F.col("conv_id") == F.col("cluster_id")
+            )
+        )

@@ -1,0 +1,52 @@
+"""Corpus generator invariants (FIXTURES.md §2)."""
+
+import pandas as pd
+
+from dedup_spark.corpus import CorpusSpec, generate_corpus
+
+
+def test_determinism():
+    a = generate_corpus(CorpusSpec(n_convs=80))
+    b = generate_corpus(CorpusSpec(n_convs=80))
+    for x, y in zip(a, b):
+        pd.testing.assert_frame_equal(x, y)
+
+
+def test_schema_and_invariants():
+    turns, pairs, clusters = generate_corpus(CorpusSpec(n_convs=120))
+    assert list(turns.columns) == ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    assert turns["turn_idx"].dtype == "int32"
+    # dense unique turn_idx per conv, ts monotone within conv
+    for _, g in turns.groupby("conv_id"):
+        idx = g.sort_values("turn_idx")["turn_idx"].tolist()
+        assert idx == list(range(len(idx)))
+        assert g.sort_values("turn_idx")["ts"].is_monotonic_increasing
+    # canonical pair order
+    assert (pairs["conv_a"] < pairs["conv_b"]).all()
+    assert set(pairs["kind"]) <= {"exact_dup", "near_dup", "substring_dup", "chain"}
+    # every conv has a cluster; cluster_id is the min member
+    assert set(clusters["conv_id"]) == set(turns["conv_id"])
+    assert (
+        clusters.groupby("cluster_id")["conv_id"].min()
+        == clusters.groupby("cluster_id")["cluster_id"].first()
+    ).all()
+
+
+def test_exact_dups_are_verbatim():
+    turns, pairs, _ = generate_corpus(CorpusSpec(n_convs=100))
+    byconv = {c: g.sort_values("turn_idx")["text"].tolist() for c, g in turns.groupby("conv_id")}
+    ex = pairs[pairs["kind"] == "exact_dup"]
+    assert len(ex) > 0
+    for _, r in ex.iterrows():
+        assert byconv[r.conv_a] == byconv[r.conv_b]
+
+
+def test_chain_groups_present():
+    _, pairs, clusters = generate_corpus(CorpusSpec(n_convs=400))
+    chains = pairs[pairs["kind"] == "chain"]
+    assert len(chains) >= 3  # at least one A-B-C-D chain
+    # chain members share one oracle cluster
+    members = set(chains["conv_a"]) | set(chains["conv_b"])
+    cl = clusters.set_index("conv_id")["cluster_id"]
+    first_chain = sorted(members)[:4]
+    assert len({cl[m] for m in first_chain}) == 1

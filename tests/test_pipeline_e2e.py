@@ -1,0 +1,104 @@
+"""Oracle end-to-end: Spark pipeline vs single-process oracle on a
+planted corpus (FIXTURES.md §2; BASELINE.md measurement protocol)."""
+
+import pytest
+
+from dedup_spark.config import DedupConfig
+from dedup_spark.corpus import CorpusSpec, generate_corpus
+from dedup_spark.oracle import run_oracle
+from dedup_spark.pipeline import DedupPipeline
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    return generate_corpus(CorpusSpec(n_convs=150))
+
+
+@pytest.fixture(scope="module")
+def result(spark, corpus, tmp_path_factory):
+    turns_pdf, _, _ = corpus
+    cfg = DedupConfig()
+    wh = str(tmp_path_factory.mktemp("wh"))
+    res = DedupPipeline(spark, cfg, wh).run(spark.createDataFrame(turns_pdf))
+    orc = run_oracle(turns_pdf, cfg)
+    return res, orc
+
+
+def test_verified_pairs_match_oracle_exactly(result):
+    res, orc = result
+    spark_pairs = {(r.conv_a, r.conv_b) for r in res.verified_pairs.collect()}
+    oracle_pairs = {(a, b) for a, b, *_ in orc["verified_pairs"]}
+    assert spark_pairs == oracle_pairs
+
+
+def test_cluster_assignments_match_oracle(result):
+    res, orc = result
+    spark_clusters = {r.conv_id: r.cluster_id for r in res.clusters.collect()}
+    assert spark_clusters == orc["clusters"]
+
+
+def test_planted_pair_recall(result, corpus):
+    """dup-pair recall ≥ 0.99 on whole-conversation duplicate families
+    (BASELINE.json metric)."""
+    res, _ = result
+    _, oracle_pairs, _ = corpus
+    planted = {
+        (r.conv_a, r.conv_b)
+        for _, r in oracle_pairs.iterrows()
+        if r.kind in ("exact_dup", "near_dup", "chain")
+    }
+    verified = {(r.conv_a, r.conv_b) for r in res.verified_pairs.collect()}
+    recall = len(planted & verified) / len(planted)
+    assert recall >= 0.99, sorted(planted - verified)
+
+
+def test_survivor_turns_byte_equal(result, corpus):
+    """Per-turn text equality invariant: surviving conversations pass
+    through verbatim in stable turn order (never rewritten)."""
+    res, _ = result
+    turns_pdf, _, _ = corpus
+    surv = (
+        res.deduped_turns.toPandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    orig = (
+        turns_pdf[turns_pdf.conv_id.isin(set(surv.conv_id))]
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    assert len(surv) == len(orig)
+    assert surv["text"].equals(orig["text"])
+    assert surv["turn_idx"].equals(orig["turn_idx"])
+
+
+def test_one_representative_per_cluster(result):
+    res, _ = result
+    clusters = res.clusters.toPandas()
+    survivors = set(res.deduped_turns.toPandas()["conv_id"])
+    reps = set(clusters[clusters.conv_id == clusters.cluster_id]["conv_id"])
+    assert survivors == reps
+
+
+def test_boilerplate_does_not_explode_buckets(result):
+    """The informative-DF upper cutoff must keep the shared boilerplate
+    turn out of the signatures → no oversized buckets at this scale."""
+    res, _ = result
+    assert res.skew_report.count() == 0
+
+
+def test_candidate_pairs_canonical(result):
+    res, _ = result
+    pdf = res.candidate_pairs.toPandas()
+    assert (pdf["conv_a"] < pdf["conv_b"]).all()
+    assert not pdf.duplicated(["conv_a", "conv_b"]).any()
+
+
+def test_metrics_cover_all_stages(result):
+    res, _ = result
+    stages = {r.stage for r in res.metrics.collect()}
+    assert {
+        "transcripts", "shingle_sets", "shingle_df", "informative_sets",
+        "signatures", "bands", "candidate_pairs", "verified_pairs",
+        "clusters", "deduped_turns",
+    } <= stages

@@ -1,0 +1,64 @@
+"""Checkpoint/resume semantics (analog of the reference's
+skip-if-output-exists caching, kmer_utilities.py:111-118, hardened with
+config fingerprints)."""
+
+import dataclasses
+
+from pyspark.sql import functions as F
+
+from dedup_spark.catalog import StageCatalog
+from dedup_spark.config import DedupConfig
+from dedup_spark.corpus import CorpusSpec, generate_corpus
+from dedup_spark.pipeline import DedupPipeline
+
+
+def test_stage_reuse_and_fingerprint_invalidation(spark, tmp_path):
+    cat = StageCatalog(spark, str(tmp_path), "fp1")
+    calls = {"n": 0}
+
+    def build():
+        calls["n"] += 1
+        return spark.range(5).withColumnRenamed("id", "x")
+
+    a = cat.stage("t", build)
+    b = cat.stage("t", build)
+    assert calls["n"] == 1 and a.count() == b.count() == 5
+    # changed fingerprint → stale checkpoint recomputed
+    cat2 = StageCatalog(spark, str(tmp_path), "fp2")
+    cat2.stage("t", build)
+    assert calls["n"] == 2
+
+
+def test_pipeline_resume_equivalence(spark, tmp_path):
+    """Kill-after-stage-k semantics: delete downstream stages, rerun,
+    final tables identical (FIXTURES.md §3 resume)."""
+    turns_pdf, _, _ = generate_corpus(CorpusSpec(n_convs=60))
+    turns = spark.createDataFrame(turns_pdf)
+    cfg = DedupConfig()
+    wh = str(tmp_path / "wh")
+
+    p1 = DedupPipeline(spark, cfg, wh)
+    r1 = p1.run(turns)
+    clusters1 = sorted((r.conv_id, r.cluster_id) for r in r1.clusters.collect())
+
+    # simulate a crash after 'signatures': drop everything downstream
+    for st in ("bands", "bucket_sizes", "skew_report", "candidate_pairs",
+               "verified_pairs", "clusters", "deduped_turns", "stats"):
+        p1.catalog.invalidate(st)
+
+    p2 = DedupPipeline(spark, cfg, wh)
+    r2 = p2.run(turns)
+    clusters2 = sorted((r.conv_id, r.cluster_id) for r in r2.clusters.collect())
+    assert clusters1 == clusters2
+    reused = {m.stage for m in p2.catalog.metrics if m.reused}
+    assert {"transcripts", "shingle_sets", "shingle_df", "signatures"} <= reused
+
+
+def test_changed_config_recomputes(spark, tmp_path):
+    turns_pdf, _, _ = generate_corpus(CorpusSpec(n_convs=40))
+    turns = spark.createDataFrame(turns_pdf)
+    wh = str(tmp_path / "wh")
+    DedupPipeline(spark, DedupConfig(), wh).run(turns)
+    p2 = DedupPipeline(spark, dataclasses.replace(DedupConfig(), shingle_k=13), wh)
+    p2.run(turns)
+    assert not any(m.reused for m in p2.catalog.metrics)
