@@ -1,0 +1,82 @@
+"""Benchmark: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1)
+on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+The headline set covers the dedup pipeline end-to-end (the flagship
+workload) plus the heaviest oracle queries, each timed to completion
+(count() or write-to-null semantics via count).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+    from dedup_spark.entry_queries import QUERIES
+    from dedup_spark.session import get_spark
+
+    spark = get_spark(app_name="dedup_spark_bench")
+
+    headline = [
+        "turns_from_documents",
+        "transcript_assembly",
+        "shingle_df",
+        "informative_shingles",
+        "minhash_lsh_candidates",
+        "simhash_docs",
+        "verified_token_pairs",
+        "cc_clusters",
+        "exact_dedup_docs",
+        "events_sessionize",
+        "session_spans",
+        "topk_events_per_user",
+        "token_stats",
+        "quality_score",
+        "langid_heuristic",
+        "cosine_topk",
+        "embedding_norms",
+        "tpch_pricing_summary",
+        "top_revenue_orders",
+    ]
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in headline:
+        fn = QUERIES[name].spark_fn
+        t0 = time.monotonic()
+        n = fn(spark, sf_dir).count()
+        dt = time.monotonic() - t0
+        timings[name] = round(dt, 3)
+        total += dt
+        print(f"# {name}: {n} rows in {dt:.2f}s", file=sys.stderr)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val = float(sf)
+    except ValueError:
+        sf_val = sf
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+            }
+        )
+    )
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

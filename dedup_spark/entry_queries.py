@@ -1,0 +1,657 @@
+"""Driver-contract query registry: Spark implementation + DuckDB oracle SQL.
+
+Each entry implements one operator family from SURVEY.md §2 over the
+driver-provided parquet tables. Dedup-pipeline operators run over a
+``turns`` table derived *identically* in Spark and in the oracle SQL
+from ``documents`` (one conversation per document, 20-token turns), so
+the pipeline stages are oracle-checkable end to end.
+
+Determinism rules (driver compares row count + schema + value hash):
+* every float column is round()ed the same way on both sides;
+* money math uses DECIMAL so sums are order-independent and exact;
+* no raw timestamps in outputs (epoch seconds instead);
+* identical column names via explicit aliases.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+CHUNK = 20  # tokens per derived turn
+K = 17      # char-shingle size (parity with reference kmer_size, dedup.py:542)
+
+# ---------------------------------------------------------------- helpers
+
+def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+def derive_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → turns(conv_id, turn_idx, text): 20-token chunks.
+
+    The Spark half of the shared derivation; ``TURNS_SQL`` is the DuckDB
+    half. Both must stay in lockstep.
+    """
+    docs = _read(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.col("doc_id").cast("string").alias("conv_id"),
+            F.split("text", " ").alias("t"),
+        )
+        .select(
+            "conv_id",
+            "t",
+            F.explode(
+                F.sequence(
+                    F.lit(0), (F.ceil(F.size("t") / CHUNK)).cast("int") - F.lit(1)
+                )
+            ).alias("g"),
+        )
+        .select(
+            "conv_id",
+            F.col("g").alias("turn_idx"),
+            F.concat_ws(" ", F.expr(f"slice(t, g*{CHUNK}+1, {CHUNK})")).alias("text"),
+        )
+    )
+
+
+TURNS_SQL = f"""
+turns AS (
+  SELECT cast(doc_id AS varchar) AS conv_id,
+         cast(u.g AS int) AS turn_idx,
+         array_to_string(t[(u.g*{CHUNK}+1):((u.g+1)*{CHUNK})], ' ') AS text
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents) toks,
+       unnest(range(cast(ceil(len(t)/{CHUNK}.0) AS bigint))) AS u(g)
+)
+"""
+
+TRANSCRIPTS_SQL = f"""
+{TURNS_SQL},
+transcripts AS (
+  SELECT conv_id,
+         string_agg(text, chr(10) ORDER BY turn_idx) AS doc,
+         count(*) AS n_turns
+  FROM turns GROUP BY conv_id
+)
+"""
+
+# per-conv DISTINCT char-17 shingles of the assembled doc (strings, so
+# both engines agree without sharing a hash function)
+SHINGLES_SQL = (
+    TRANSCRIPTS_SQL
+    + f""",
+conv_shingles AS (
+  SELECT conv_id, unnest(list_distinct(list_transform(
+           range(1, len(doc) - {K} + 2), i -> substr(doc, i, {K})))) AS shingle
+  FROM transcripts WHERE len(doc) >= {K}
+),
+shingle_df AS (
+  SELECT shingle, count(*) AS df FROM conv_shingles GROUP BY shingle
+)
+"""
+)
+
+
+def _transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dedup_spark.operators.transcripts import assemble_transcripts
+
+    return assemble_transcripts(derive_turns(spark, sf_dir))
+
+
+def _conv_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(conv_id, shingle) distinct string shingles — A1 explode analog."""
+    t = _transcripts(spark, sf_dir).filter(F.length("doc") >= K)
+    return t.select(
+        "conv_id",
+        F.explode(
+            F.array_distinct(
+                F.expr(f"transform(sequence(1, length(doc) - {K} + 1), i -> substr(doc, i, {K}))")
+            )
+        ).alias("shingle"),
+    )
+
+
+def _shingle_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _conv_shingles(spark, sf_dir)
+        .groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+
+
+def _doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", "lang", "source",
+        F.array_distinct(F.split("text", " ")).alias("toks"),
+    ).withColumn("n_toks", F.size("toks"))
+
+
+def _verified_token_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-set containment verify between same-(lang,source)
+    blocked doc pairs — the U1/F6/X3 verify semantics (reference
+    dedup.py:362-369, +1 denominators) expressed relationally."""
+    d = _doc_tokens(spark, sf_dir)
+    a = d.select(
+        F.col("doc_id").alias("doc_a"), "lang", "source",
+        F.col("toks").alias("toks_a"), F.col("n_toks").alias("n_a"),
+    )
+    b = d.select(
+        F.col("doc_id").alias("doc_b"), "lang", "source",
+        F.col("toks").alias("toks_b"), F.col("n_toks").alias("n_b"),
+    )
+    j = a.join(b, ["lang", "source"]).filter(F.col("doc_a") < F.col("doc_b"))
+    j = j.withColumn("common", F.size(F.array_intersect("toks_a", "toks_b")))
+    j = (
+        j.withColumn("containment_a", F.round(F.col("common") / (F.col("n_a") + 1), 6))
+        .withColumn("containment_b", F.round(F.col("common") / (F.col("n_b") + 1), 6))
+        .withColumn(
+            "jaccard",
+            F.round(F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common")), 6),
+        )
+    )
+    return j.filter(
+        (F.col("containment_a") > 0.2) | (F.col("containment_b") > 0.2)
+    ).select("lang", "source", "doc_a", "doc_b", "common", "jaccard",
+             "containment_a", "containment_b")
+
+
+VERIFIED_PAIRS_SQL = """
+doc_toks AS (
+  SELECT doc_id, lang, source,
+         list_distinct(string_split(text, ' ')) AS toks,
+         len(list_distinct(string_split(text, ' '))) AS n_toks
+  FROM documents
+),
+verified AS (
+  SELECT a.lang, a.source, a.doc_id AS doc_a, b.doc_id AS doc_b,
+         len(list_intersect(a.toks, b.toks)) AS common,
+         round(len(list_intersect(a.toks, b.toks))::double
+               / (a.n_toks + b.n_toks - len(list_intersect(a.toks, b.toks))), 6) AS jaccard,
+         round(len(list_intersect(a.toks, b.toks))::double / (a.n_toks + 1), 6) AS containment_a,
+         round(len(list_intersect(a.toks, b.toks))::double / (b.n_toks + 1), 6) AS containment_b
+  FROM doc_toks a JOIN doc_toks b
+    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+  WHERE round(len(list_intersect(a.toks, b.toks))::double / (a.n_toks + 1), 6) > 0.2
+     OR round(len(list_intersect(a.toks, b.toks))::double / (b.n_toks + 1), 6) > 0.2
+)
+"""
+
+
+# ---------------------------------------------------------------- registry
+
+@dataclass
+class QuerySpec:
+    spark_fn: Callable[[SparkSession, str], DataFrame]
+    sql: str | None  # None → rows-only check (non-SQL-expressible)
+
+
+def _q_turns(spark, sf_dir):
+    return derive_turns(spark, sf_dir)
+
+
+def _q_transcripts(spark, sf_dir):
+    return _transcripts(spark, sf_dir).select("conv_id", "doc", "n_turns", "doc_len")
+
+
+def _q_shingle_df(spark, sf_dir):
+    return _shingle_df(spark, sf_dir)
+
+
+def _q_df_histogram(spark, sf_dir):
+    return (
+        _shingle_df(spark, sf_dir)
+        .groupBy("df")
+        .agg(F.count(F.lit(1)).alias("n_shingles"))
+    )
+
+
+def _q_informative(spark, sf_dir):
+    return _shingle_df(spark, sf_dir).filter(F.col("df").between(2, 4))
+
+
+def _q_exact_dedup(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.md5("text").alias("text_hash"))
+        .agg(F.min("doc_id").alias("rep_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def _q_dup_groups(spark, sf_dir):
+    return _q_exact_dedup(spark, sf_dir).filter(F.col("n_copies") > 1)
+
+
+def _q_verified_pairs(spark, sf_dir):
+    return _verified_token_pairs(spark, sf_dir)
+
+
+def _q_cc_clusters(spark, sf_dir):
+    from dedup_spark.operators.connected_components import connected_components
+
+    docs = _read(spark, sf_dir, "documents")
+    # keep bigint ids end-to-end: min/least on strings would order
+    # lexicographically ("100" < "99") and diverge from the numeric oracle
+    nodes = docs.select(F.col("doc_id").alias("conv_id"))
+    edges = _verified_token_pairs(spark, sf_dir).select(
+        F.col("doc_a").alias("conv_a"), F.col("doc_b").alias("conv_b")
+    )
+    out = connected_components(nodes, edges)
+    return out.select(
+        F.col("conv_id").alias("doc_id"), F.col("cluster_id").alias("cluster_id")
+    )
+
+
+def _q_sessionize(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    ev = _read(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.unix_timestamp("ts").alias("epoch")
+    )
+    w = W.partitionBy("user_id").orderBy("epoch", "event_id")
+    gap = F.col("epoch") - F.lag("epoch").over(w)
+    return (
+        ev.withColumn("is_new", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
+        .withColumn("session_id", F.sum("is_new").over(
+            W.partitionBy("user_id").orderBy("epoch", "event_id")
+            .rowsBetween(W.unboundedPreceding, 0)))
+        .select("user_id", "event_id", "session_id")
+    )
+
+
+SESSIONIZE_SQL = """
+sess AS (
+  SELECT user_id, event_id, floor(epoch(ts))::bigint AS ep,
+         CASE WHEN floor(epoch(ts))::bigint - lag(floor(epoch(ts))::bigint)
+              OVER (PARTITION BY user_id ORDER BY floor(epoch(ts))::bigint, event_id) > 1800
+              OR lag(floor(epoch(ts))::bigint) OVER (PARTITION BY user_id ORDER BY floor(epoch(ts))::bigint, event_id) IS NULL
+         THEN 1 ELSE 0 END AS is_new
+  FROM events
+),
+sessionized AS (
+  SELECT user_id, event_id, ep,
+         (sum(is_new) OVER (PARTITION BY user_id ORDER BY ep, event_id
+                            ROWS UNBOUNDED PRECEDING))::bigint AS session_id
+  FROM sess
+)
+"""
+
+
+def _q_session_spans(spark, sf_dir):
+    ev = _read(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value", F.unix_timestamp("ts").alias("epoch")
+    )
+    s = _q_sessionize(spark, sf_dir).select("event_id", "session_id")
+    return (
+        ev.join(s, "event_id")
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("epoch").alias("start_epoch"),
+            F.max("epoch").alias("end_epoch"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_value"),
+        )
+        .withColumn("sum_value", F.col("sum_value").cast("double"))
+    )
+
+
+def _q_topk_events(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    ev = _read(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("user_id", "event_id", "value", "rn")
+    )
+
+
+def _q_token_stats(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    n_toks = F.size(F.split("text", " "))
+    return docs.select(
+        "doc_id",
+        n_toks.alias("n_tokens"),
+        F.length("text").alias("n_chars"),
+        F.round(
+            F.length(F.regexp_replace("text", " ", "")) / n_toks, 6
+        ).alias("avg_token_len"),
+    )
+
+
+_STOPWORDS = ("the", "a", "of", "and", "to", "data", "value")
+
+
+def _q_quality_score(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    stops = F.size(F.filter(toks, lambda t: t.isin(*_STOPWORDS)))
+    n = F.size(toks)
+    # single int/int divisions only: composite float expressions double-
+    # round differently across engines near .5 ulp boundaries
+    return docs.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        stops.alias("n_stopwords"),
+        F.round(stops / n, 6).alias("stop_ratio"),
+        F.round((stops + F.least(n, F.lit(100))) / (n + 200), 6).alias("quality"),
+    )
+
+
+_STOP_SQL_LIST = "['the','a','of','and','to','data','value']"
+
+_LANG_MARKERS = {
+    "en": ("the", "fast", "query"),
+    "es": ("el", "la", "slow"),
+    "de": ("der", "die", "merge"),
+    "fr": ("le", "la", "join"),
+    "zh": ("de", "shi", "hash"),
+}
+
+
+def _q_langid(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    cols = [F.col("doc_id")]
+    for lang, markers in _LANG_MARKERS.items():
+        cols.append(
+            F.size(F.filter(toks, lambda t: t.isin(*markers))).alias(f"score_{lang}")
+        )
+    scored = docs.select(*cols)
+    # deterministic argmax: highest score wins, ties keep the earlier
+    # (alphabetical) language — mirrored exactly in the oracle SQL
+    langs = sorted(_LANG_MARKERS)  # de en es fr zh
+    pred = F.lit(langs[0])
+    best = F.col(f"score_{langs[0]}")
+    for lang in langs[1:]:
+        cond = F.col(f"score_{lang}") > best
+        pred = F.when(cond, F.lit(lang)).otherwise(pred)
+        best = F.when(cond, F.col(f"score_{lang}")).otherwise(best)
+    return scored.withColumn("predicted_lang", pred)
+
+
+def _q_fingerprint(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.md5(F.lower(F.col("text"))).alias("fingerprint")
+    )
+
+
+def _q_embedding_norms(spark, sf_dir):
+    emb = _read(spark, sf_dir, "embeddings")
+    vec = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    dot = F.aggregate(
+        F.zip_with(vec, vec, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    return emb.select("vec_id", "label", F.round(F.sqrt(dot), 4).alias("l2_norm"))
+
+
+def _q_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-k ANN baseline (SURVEY operator class:
+    similarity search). Query set = vec_id < 10; k = 3 (excluding self);
+    deterministic ordering by (rounded sim desc, neighbor id asc)."""
+    from pyspark.sql import Window as W
+
+    emb = _read(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v")
+    )
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    dot = lambda a, b: F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    j = q.crossJoin(emb).filter(F.col("vec_id") != F.col("query_id"))
+    sim = F.round(
+        dot(F.col("qv"), F.col("v")) / (F.sqrt(dot(F.col("qv"), F.col("qv"))) * F.sqrt(dot(F.col("v"), F.col("v")))),
+        4,
+    )
+    j = j.withColumn("sim", sim)
+    w = W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        j.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "sim", "rank")
+    )
+
+
+def _q_tpch_pricing(spark, sf_dir):
+    li = _read(spark, sf_dir, "lineitem")
+    dp = (F.col("l_extendedprice").cast("decimal(18,4)")
+          * (F.lit(1).cast("decimal(18,4)") - F.col("l_discount").cast("decimal(18,4)")))
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("sum_base_price"),
+            F.sum(dp).cast("double").alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def _q_top_revenue_orders(spark, sf_dir):
+    li = _read(spark, sf_dir, "lineitem")
+    orders = _read(spark, sf_dir, "orders")
+    cust = _read(spark, sf_dir, "customer")
+    rev = (F.col("l_extendedprice").cast("decimal(18,4)")
+           * (F.lit(1).cast("decimal(18,4)") - F.col("l_discount").cast("decimal(18,4)")))
+    agg = (
+        li.groupBy("l_orderkey").agg(F.sum(rev).cast("double").alias("revenue"))
+    )
+    return (
+        agg.join(orders, agg.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "l_orderkey", "c_name",
+            F.round("revenue", 2).alias("revenue"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(20)
+    )
+
+
+# --- rows-only queries (non-SQL-expressible: custom hash kernels) ---
+
+def _q_minhash_candidates(spark, sf_dir):
+    """MinHash-LSH candidate pairs over the derived turns corpus —
+    the J3 band self-join with the real numpy kernels (not
+    SQL-expressible in DuckDB, so rows-only check)."""
+    from dedup_spark.config import DedupConfig
+    from dedup_spark.operators import lsh, shingling
+
+    cfg = DedupConfig(auto_df_band=True)
+    t = _transcripts(spark, sf_dir)
+    sets_df = shingling.shingle_sets(t, cfg)
+    exploded = shingling.exploded_shingles(sets_df)
+    sdf = shingling.shingle_document_frequency(exploded)
+    hist = [(r["df"], r["n_shingles"]) for r in shingling.df_histogram(sdf).collect()]
+    lo, hi = shingling.pick_df_band(hist, cfg)
+    informative = shingling.informative_shingle_sets(exploded, sdf, lo, hi)
+    sigs = lsh.compute_signatures(informative, cfg)
+    bands = lsh.explode_bands(sigs)
+    sizes = lsh.band_bucket_sizes(bands)
+    return lsh.candidate_pairs(bands, sizes, cfg)
+
+
+def _q_simhash_docs(spark, sf_dir):
+    from dedup_spark.config import DedupConfig
+    from dedup_spark.functions.udfs import make_shingle_udf, make_signature_udf
+
+    cfg = DedupConfig()
+    docs = _read(spark, sf_dir, "documents")
+    sh = make_shingle_udf(cfg)
+    sig = make_signature_udf(cfg)
+    d = docs.select("doc_id", sh(F.col("text")).alias("shingles"))
+    d = d.filter(F.size("shingles") > 0).withColumn("s", sig(F.col("shingles")))
+    return d.select("doc_id", F.col("s.simhash").alias("simhash"))
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "turns_from_documents": QuerySpec(
+        _q_turns, f"WITH {TURNS_SQL} SELECT conv_id, turn_idx, text FROM turns"
+    ),
+    "transcript_assembly": QuerySpec(
+        _q_transcripts,
+        f"WITH {TRANSCRIPTS_SQL} SELECT conv_id, doc, n_turns, len(doc) AS doc_len FROM transcripts",
+    ),
+    "shingle_df": QuerySpec(
+        _q_shingle_df, f"WITH {SHINGLES_SQL} SELECT shingle, df FROM shingle_df"
+    ),
+    "shingle_df_histogram": QuerySpec(
+        _q_df_histogram,
+        f"WITH {SHINGLES_SQL} SELECT df, count(*) AS n_shingles FROM shingle_df GROUP BY df",
+    ),
+    "informative_shingles": QuerySpec(
+        _q_informative,
+        f"WITH {SHINGLES_SQL} SELECT shingle, df FROM shingle_df WHERE df BETWEEN 2 AND 4",
+    ),
+    "exact_dedup_docs": QuerySpec(
+        _q_exact_dedup,
+        "SELECT md5(text) AS text_hash, min(doc_id) AS rep_doc_id, count(*) AS n_copies "
+        "FROM documents GROUP BY md5(text)",
+    ),
+    "exact_dup_groups": QuerySpec(
+        _q_dup_groups,
+        "SELECT md5(text) AS text_hash, min(doc_id) AS rep_doc_id, count(*) AS n_copies "
+        "FROM documents GROUP BY md5(text) HAVING count(*) > 1",
+    ),
+    "verified_token_pairs": QuerySpec(
+        _q_verified_pairs,
+        f"WITH {VERIFIED_PAIRS_SQL} SELECT lang, source, doc_a, doc_b, common, "
+        "jaccard, containment_a, containment_b FROM verified",
+    ),
+    "cc_clusters": QuerySpec(
+        _q_cc_clusters,
+        f"""WITH RECURSIVE {VERIFIED_PAIRS_SQL},
+sym AS (
+  SELECT doc_a AS a, doc_b AS b FROM verified
+  UNION SELECT doc_b, doc_a FROM verified
+),
+reach(a, b) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a WHERE r.a <> s.b
+),
+labels AS (
+  SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a
+)
+SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id
+FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id""",
+    ),
+    "events_sessionize": QuerySpec(
+        _q_sessionize,
+        f"WITH {SESSIONIZE_SQL} SELECT user_id, event_id, session_id FROM sessionized",
+    ),
+    "session_spans": QuerySpec(
+        _q_session_spans,
+        f"""WITH {SESSIONIZE_SQL}
+SELECT s.user_id, s.session_id, count(*) AS n_events,
+       min(s.ep) AS start_epoch, max(s.ep) AS end_epoch,
+       (sum(e.value::decimal(18,2)))::double AS sum_value
+FROM sessionized s JOIN events e ON s.event_id = e.event_id
+GROUP BY s.user_id, s.session_id""",
+    ),
+    "topk_events_per_user": QuerySpec(
+        _q_topk_events,
+        """SELECT user_id, event_id, value, rn FROM (
+  SELECT user_id, event_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id ASC) AS rn
+  FROM events) WHERE rn <= 3""",
+    ),
+    "token_stats": QuerySpec(
+        _q_token_stats,
+        "SELECT doc_id, len(string_split(text,' ')) AS n_tokens, "
+        "len(text) AS n_chars, "
+        "round(len(replace(text, ' ', ''))::double / len(string_split(text,' ')), 6) AS avg_token_len "
+        "FROM documents",
+    ),
+    "quality_score": QuerySpec(
+        _q_quality_score,
+        f"""SELECT doc_id,
+       len(string_split(text,' ')) AS n_tokens,
+       len(list_filter(string_split(text,' '), t -> list_contains({_STOP_SQL_LIST}, t))) AS n_stopwords,
+       round(len(list_filter(string_split(text,' '), t -> list_contains({_STOP_SQL_LIST}, t)))::double
+             / len(string_split(text,' ')), 6) AS stop_ratio,
+       round((len(list_filter(string_split(text,' '), t -> list_contains({_STOP_SQL_LIST}, t)))
+             + least(len(string_split(text,' ')), 100))::double
+             / (len(string_split(text,' ')) + 200), 6) AS quality
+FROM documents""",
+    ),
+    "langid_heuristic": QuerySpec(
+        _q_langid,
+        None,  # filled in below (generated from _LANG_MARKERS)
+    ),
+    "doc_fingerprint": QuerySpec(
+        _q_fingerprint,
+        "SELECT doc_id, md5(lower(text)) AS fingerprint FROM documents",
+    ),
+    "embedding_norms": QuerySpec(
+        _q_embedding_norms,
+        "SELECT vec_id, label, round(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 4) AS l2_norm FROM embeddings",
+    ),
+    "cosine_topk": QuerySpec(
+        _q_cosine_topk,
+        """SELECT query_id, neighbor_id, sim, rank FROM (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round(list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[])
+               / (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))), 4) AS sim,
+         row_number() OVER (PARTITION BY q.vec_id ORDER BY
+           round(list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[])
+               / (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[])))
+           , 4) DESC, c.vec_id ASC) AS rank
+  FROM embeddings q JOIN embeddings c ON q.vec_id < 10 AND c.vec_id <> q.vec_id
+) WHERE rank <= 3""",
+    ),
+    "tpch_pricing_summary": QuerySpec(
+        _q_tpch_pricing,
+        """SELECT l_returnflag, l_linestatus,
+       (sum(l_quantity::decimal(18,2)))::double AS sum_qty,
+       (sum(l_extendedprice::decimal(18,2)))::double AS sum_base_price,
+       (sum(l_extendedprice::decimal(18,4) * (1::decimal(18,4) - l_discount::decimal(18,4))))::double AS sum_disc_price,
+       count(*) AS count_order
+FROM lineitem WHERE l_shipdate <= timestamp '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus""",
+    ),
+    "top_revenue_orders": QuerySpec(
+        _q_top_revenue_orders,
+        """SELECT l_orderkey, c_name, round(revenue, 2) AS revenue FROM (
+  SELECT l.l_orderkey, sum(l.l_extendedprice::decimal(18,4) * (1::decimal(18,4) - l.l_discount::decimal(18,4)))::double AS revenue
+  FROM lineitem l GROUP BY l.l_orderkey
+) r JOIN orders o ON r.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+ORDER BY revenue DESC, l_orderkey ASC LIMIT 20""",
+    ),
+    "minhash_lsh_candidates": QuerySpec(_q_minhash_candidates, None),
+    "simhash_docs": QuerySpec(_q_simhash_docs, None),
+}
+
+
+def _langid_sql() -> str:
+    score_cols = []
+    for lang in sorted(_LANG_MARKERS):
+        markers = "[" + ",".join(f"'{m}'" for m in _LANG_MARKERS[lang]) + "]"
+        score_cols.append(
+            f"len(list_filter(string_split(text,' '), t -> list_contains({markers}, t))) AS score_{lang}"
+        )
+    langs = sorted(_LANG_MARKERS)
+    pred = f"'{langs[0]}'"
+    best = f"score_{langs[0]}"
+    for lang in langs[1:]:
+        pred = f"CASE WHEN score_{lang} > {best} THEN '{lang}' ELSE {pred} END"
+        best = f"greatest({best}, score_{lang})"
+    order = ["score_en", "score_es", "score_de", "score_fr", "score_zh"]
+    return (
+        "SELECT doc_id, " + ", ".join(order) + f", {pred} AS predicted_lang "
+        "FROM (SELECT doc_id, " + ", ".join(score_cols) + " FROM documents)"
+    )
+
+
+QUERIES["langid_heuristic"] = QuerySpec(_q_langid, _langid_sql())
