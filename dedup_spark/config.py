@@ -53,6 +53,15 @@ class DedupConfig:
     min_doc_len: int = 0              # analog of min_sequence_len=5000
                                       # (contig.py:51); off for transcripts
 
+    # --- suffix-array substring pass (minimap2 analog, dedup.py:424-462) ---
+    anchor_w: int = 25                # suffix-prefix width (chars) for anchor
+                                      # keys — the seed length analog of
+                                      # minimap2's minimizer window
+    anchor_stride: int = 1            # sample every Nth suffix (1 = exact)
+    max_anchor_occ: int = 64          # corpus-wide occurrence cap per suffix
+                                      # key (skew guard; capped keys reported)
+    min_span_len: int = 50            # chained-span report floor (chars)
+
     # --- scale / skew handling ---
     max_band_bucket: int = 200   # cap on LSH bucket size; oversized buckets
                                  # are dropped WITH a logged skew report

@@ -17,6 +17,12 @@ caching, dedup.py:439-443):
                               verified_pairs ◄─────────────────┘
                                    │
                                 clusters ─► deduped_turns + stats
+                                                  │
+  transcripts ─► suffix keys ──► anchor_skew      │
+        │               │                         │
+        └► substring_spans (⋈ candidate_pairs)    │
+                  │                               ▼
+           interval_marks ──► merged ──► trimmed_turns
 """
 
 from __future__ import annotations
@@ -28,7 +34,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from dedup_spark.catalog import StageCatalog
 from dedup_spark.config import DedupConfig
-from dedup_spark.operators import lsh, shingling, verify
+from dedup_spark.operators import intervals, lsh, shingling, substring, verify
 from dedup_spark.operators.connected_components import connected_components
 from dedup_spark.operators.transcripts import assemble_transcripts
 
@@ -45,6 +51,10 @@ class PipelineResult:
     skew_report: DataFrame
     metrics: DataFrame
     df_band: tuple[int, int]
+    substring_spans: DataFrame | None = None
+    interval_marks: DataFrame | None = None
+    trimmed_turns: DataFrame | None = None
+    anchor_skew: DataFrame | None = None
 
 
 class DedupPipeline:
@@ -95,6 +105,38 @@ class DedupPipeline:
         stats = cat.stage(
             "stats", lambda: self._stats(transcripts, signatures, clusters)
         )
+
+        # --- suffix-array substring pass (minimap2 analog, SURVEY §7 step 4).
+        # Spans are restricted to LSH candidate pairs (the reference computes
+        # the corpus-wide self-alignment but only ever looks candidates up,
+        # dedup.py:152 — restriction is semantic-preserving and much cheaper).
+        # ``deduped_turns`` stays whole-conversation dedup (the primary
+        # contract with its per-turn-equality invariant); ``trimmed_turns``
+        # additionally applies the reference's interval-trim semantics
+        # (contig.py:134-191) at turn granularity.
+        skeys = substring.suffix_keys(transcripts, cfg)
+        buckets = cat.stage(
+            "suffix_buckets", lambda: substring.suffix_buckets(skeys, cfg)
+        )
+        anchor_skew = cat.stage(
+            "anchor_skew", lambda: substring.anchor_skew_report(buckets, cfg)
+        )
+        spans = cat.stage(
+            "substring_spans",
+            lambda: substring.chain_anchors(
+                substring.anchor_pairs_from_buckets(buckets, cfg, pairs=candidates), cfg
+            ),
+        )
+        best_spans = substring.best_substring_match(spans)
+        marks = cat.stage(
+            "interval_marks",
+            lambda: intervals.decide_intervals(best_spans, transcripts, cfg),
+        )
+        merged = intervals.merge_intervals(marks)
+        trimmed = cat.stage(
+            "trimmed_turns", lambda: intervals.trim_turns(deduped, merged, cfg)
+        )
+
         return PipelineResult(
             transcripts=transcripts,
             signatures=signatures,
@@ -106,6 +148,10 @@ class DedupPipeline:
             skew_report=skew,
             metrics=cat.metrics_df(),
             df_band=(lo, hi),
+            substring_spans=spans,
+            interval_marks=marks,
+            trimmed_turns=trimmed,
+            anchor_skew=anchor_skew,
         )
 
     @staticmethod

@@ -100,5 +100,34 @@ def test_metrics_cover_all_stages(result):
     assert {
         "transcripts", "shingle_sets", "shingle_df", "informative_sets",
         "signatures", "bands", "candidate_pairs", "verified_pairs",
-        "clusters", "deduped_turns",
+        "clusters", "deduped_turns", "substring_spans", "interval_marks",
+        "trimmed_turns",
     } <= stages
+
+
+def test_substring_spans_recover_planted_substrings(result, corpus):
+    """The suffix-array pass finds the planted cross-conversation
+    substring spans (substring_dup family: B embeds a contiguous run of
+    A's turns verbatim)."""
+    res, _ = result
+    _, oracle_pairs, _ = corpus
+    planted = {
+        (r.conv_a, r.conv_b)
+        for _, r in oracle_pairs.iterrows()
+        if r.kind == "substring_dup"
+    }
+    found = {(r.conv_a, r.conv_b) for r in res.substring_spans.collect()}
+    recall = len(planted & found) / len(planted)
+    assert recall >= 0.9, sorted(planted - found)
+
+
+def test_trimmed_turns_subset_and_verbatim(result, corpus):
+    """trimmed_turns ⊆ deduped_turns; every surviving row is byte-equal
+    to its original (turns are dropped, never rewritten)."""
+    res, _ = result
+    turns_pdf, _, _ = corpus
+    trimmed = res.trimmed_turns.toPandas()
+    orig = turns_pdf.set_index(["conv_id", "turn_idx"])["text"]
+    assert len(trimmed) <= res.deduped_turns.count()
+    for _, r in trimmed.iterrows():
+        assert orig.loc[(r.conv_id, r.turn_idx)] == r.text

@@ -1,0 +1,270 @@
+"""Substring (suffix-array) pass + interval decision tests.
+
+Mirrors the reference's alignment/trim test strategy
+(/root/reference/dedup/test/test_alignment.py golden best-path,
+test/test_contig.py:46-77 trim semantics) against planted substrings
+and a brute-force oracle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from dedup_spark.config import DedupConfig
+from dedup_spark.operators import intervals, substring
+from dedup_spark.operators.transcripts import assemble_transcripts
+
+CFG = DedupConfig(
+    anchor_w=8, min_span_len=20, max_gap=50, end_buffer=30, min_doc_len=0
+)
+
+
+def _docs_df(spark, docs: dict[str, str]):
+    return spark.createDataFrame(
+        [(k, v, 1, len(v)) for k, v in docs.items()],
+        "conv_id string, doc string, n_turns long, doc_len int",
+    )
+
+
+def _rand_text(rng, n):
+    return "".join(chr(97 + c) for c in rng.integers(0, 26, size=n))
+
+
+class TestSuffixKeys:
+    def test_every_position_keyed(self, spark):
+        df = _docs_df(spark, {"a": "abcdefghij"})  # len 10, w 8 → 3 suffixes
+        rows = substring.suffix_keys(df, CFG).collect()
+        assert sorted(r["pos"] for r in rows) == [1, 2, 3]
+
+    def test_equal_prefix_equal_key(self, spark):
+        df = _docs_df(spark, {"a": "xxprefixZZ", "b": "xxprefixQQ"})
+        rows = substring.suffix_keys(df, CFG).collect()
+        key = {(r["conv_id"], r["pos"]): r["key"] for r in rows}
+        assert key[("a", 1)] == key[("b", 1)]  # shared 8-char prefix
+        assert key[("a", 3)] != key[("b", 3)]  # diverged suffixes
+
+    def test_short_doc_skipped(self, spark):
+        df = _docs_df(spark, {"a": "short"})
+        assert substring.suffix_keys(df, CFG).count() == 0
+
+
+class TestAnchorsAndChaining:
+    def test_planted_substring_found(self, spark):
+        rng = np.random.Generator(np.random.PCG64(7))
+        shared = _rand_text(rng, 120)
+        a = _rand_text(rng, 200) + shared + _rand_text(rng, 150)
+        b = _rand_text(rng, 60) + shared + _rand_text(rng, 300)
+        best = substring.substring_matches(
+            _docs_df(spark, {"a": a, "b": b}), CFG
+        ).collect()
+        assert len(best) == 1
+        r = best[0]
+        assert (r["conv_a"], r["conv_b"]) == ("a", "b")
+        # planted span: a[201..320], b[61..180] (1-based inclusive)
+        assert abs(r["a_start"] - 201) <= CFG.anchor_w
+        assert abs(r["a_end"] - 320) <= CFG.anchor_w
+        assert abs(r["b_start"] - 61) <= CFG.anchor_w
+        assert r["matched"] >= 120 - CFG.anchor_w
+
+    def test_two_spans_gap_split_and_top1(self, spark):
+        """Two shared spans separated by > max_gap stay separate chains;
+        best_substring_match keeps the longer one (O1 top-1 semantics)."""
+        rng = np.random.Generator(np.random.PCG64(8))
+        s1, s2 = _rand_text(rng, 40), _rand_text(rng, 90)
+        gap_a, gap_b = _rand_text(rng, 200), _rand_text(rng, 220)
+        a = s1 + gap_a + s2
+        b = s1 + gap_b + s2
+        docs = _docs_df(spark, {"a": a, "b": b})
+        keys = substring.suffix_keys(docs, CFG)
+        anchors = substring.anchor_matches(keys, CFG)
+        spans = substring.chain_anchors(anchors, CFG).collect()
+        assert len(spans) == 2
+        best = substring.best_substring_match(
+            substring.chain_anchors(anchors, CFG)
+        ).collect()
+        assert len(best) == 1
+        assert best[0]["matched"] >= 90 - CFG.anchor_w  # the longer span wins
+
+    def test_no_shared_substring_no_spans(self, spark):
+        rng = np.random.Generator(np.random.PCG64(9))
+        docs = _docs_df(spark, {"a": _rand_text(rng, 300), "b": _rand_text(rng, 300)})
+        assert substring.substring_matches(docs, CFG).count() == 0
+
+    def test_occurrence_cap_reported_not_silent(self, spark):
+        """Boilerplate repeated everywhere exceeds the cap → excluded
+        from anchors AND present in the skew report."""
+        boiler = "B" * 60  # every 8-window identical → huge occ per key
+        cfg = DedupConfig(anchor_w=8, min_span_len=20, max_anchor_occ=10)
+        docs = _docs_df(spark, {f"c{i}": boiler for i in range(6)})
+        keys = substring.suffix_keys(docs, cfg)
+        occ = substring.key_occurrence(keys)
+        assert substring.anchor_skew_report(occ, cfg).count() > 0
+        assert substring.anchor_matches(keys, cfg).count() == 0
+
+    def test_pair_restriction(self, spark):
+        rng = np.random.Generator(np.random.PCG64(10))
+        shared = _rand_text(rng, 100)
+        docs = _docs_df(
+            spark,
+            {
+                "a": shared + _rand_text(rng, 50),
+                "b": shared + _rand_text(rng, 60),
+                "c": shared + _rand_text(rng, 70),
+            },
+        )
+        pairs = spark.createDataFrame([("a", "b")], "conv_a string, conv_b string")
+        best = substring.substring_matches(docs, CFG, pairs=pairs).collect()
+        assert {(r["conv_a"], r["conv_b"]) for r in best} == {("a", "b")}
+
+    def test_brute_force_parity(self, spark):
+        """Chained matched-char estimate agrees with a brute-force longest
+        common substring on random docs with one planted span."""
+        rng = np.random.Generator(np.random.PCG64(11))
+        shared = _rand_text(rng, 64)
+        a = _rand_text(rng, 100) + shared + _rand_text(rng, 100)
+        b = _rand_text(rng, 80) + shared + _rand_text(rng, 120)
+
+        def lcs_len(x: str, y: str) -> int:  # O(nm) brute force, tiny input
+            best = 0
+            prev = [0] * (len(y) + 1)
+            for i in range(1, len(x) + 1):
+                cur = [0] * (len(y) + 1)
+                for j in range(1, len(y) + 1):
+                    if x[i - 1] == y[j - 1]:
+                        cur[j] = prev[j - 1] + 1
+                        best = max(best, cur[j])
+                prev = cur
+            return best
+
+        truth = lcs_len(a, b)
+        got = substring.substring_matches(_docs_df(spark, {"a": a, "b": b}), CFG)
+        r = got.collect()[0]
+        assert abs(r["matched"] - truth) <= CFG.anchor_w
+
+
+class TestIntervalDecision:
+    """Mirrors reference decision rules dedup.py:244-308 and trim
+    semantics test_contig.py:46-77."""
+
+    def _spans(self, spark, rows):
+        return spark.createDataFrame(
+            rows,
+            "conv_a string, conv_b string, a_start int, a_end int, "
+            "b_start int, b_end int, n_anchors long, matched int, score int",
+        )
+
+    def _lens(self, spark, lens):
+        return spark.createDataFrame(
+            [(k, "x" * v, 1, v) for k, v in lens.items()],
+            "conv_id string, doc string, n_turns long, doc_len int",
+        )
+
+    def test_full_dup_marks_whole_doc(self, spark):
+        spans = self._spans(spark, [("a", "b", 1, 95, 1, 95, 10, 95, 95)])
+        t = self._lens(spark, {"a": 1000, "b": 100})  # b is 95% covered
+        marks = intervals.decide_intervals(spans, t, CFG).collect()
+        assert len(marks) == 1
+        m = marks[0]
+        assert (m["conv_id"], m["start"], m["end"], m["kind"]) == ("b", 1, 100, "full")
+
+    def test_edge5_trim(self, spark):
+        # span near b's start (within end_buffer=30), not full coverage
+        spans = self._spans(spark, [("a", "b", 500, 560, 10, 70, 6, 61, 61)])
+        t = self._lens(spark, {"a": 2000, "b": 400})
+        m = intervals.decide_intervals(spans, t, CFG).collect()[0]
+        assert (m["conv_id"], m["start"], m["end"], m["kind"]) == ("b", 1, 70, "edge5")
+
+    def test_edge3_trim(self, spark):
+        spans = self._spans(spark, [("a", "b", 500, 560, 330, 390, 6, 61, 61)])
+        t = self._lens(spark, {"a": 2000, "b": 400})
+        m = intervals.decide_intervals(spans, t, CFG).collect()[0]
+        assert (m["conv_id"], m["start"], m["end"], m["kind"]) == ("b", 330, 400, "edge3")
+
+    def test_middle_span_gives_up(self, spark):
+        # span in the middle of both docs, small coverage → no mark
+        # (reference give-up branch, dedup.py:285)
+        spans = self._spans(spark, [("a", "b", 900, 960, 150, 210, 6, 61, 61)])
+        t = self._lens(spark, {"a": 2000, "b": 400})
+        assert intervals.decide_intervals(spans, t, CFG).count() == 0
+
+    def test_fallback_to_other_side(self, spark):
+        # primary (more duplicated) side b has a middle span; a's span is
+        # at its 5' edge → falls back to marking a (dedup.py:290-307)
+        spans = self._spans(spark, [("a", "b", 5, 65, 150, 210, 6, 61, 61)])
+        t = self._lens(spark, {"a": 2000, "b": 400})
+        m = intervals.decide_intervals(spans, t, CFG).collect()[0]
+        assert (m["conv_id"], m["kind"]) == ("a", "edge5")
+
+    def test_merge_intervals(self, spark):
+        marks = spark.createDataFrame(
+            [("c", 1, 50), ("c", 40, 80), ("c", 200, 300), ("d", 5, 10)],
+            "conv_id string, start int, end int",
+        )
+        got = {
+            (r["conv_id"], r["start"], r["end"])
+            for r in intervals.merge_intervals(marks).collect()
+        }
+        assert got == {("c", 1, 80), ("c", 200, 300), ("d", 5, 10)}
+
+
+class TestTrimTurns:
+    def _turns(self, spark, convs: dict[str, list[str]]):
+        rows = [
+            (cid, i, "user", txt, None)
+            for cid, ts in convs.items()
+            for i, txt in enumerate(ts)
+        ]
+        return spark.createDataFrame(
+            rows, "conv_id string, turn_idx int, role string, text string, tool string"
+        )
+
+    def test_offsets_match_assembly(self, spark):
+        turns = self._turns(spark, {"c": ["hello", "wo", "rld!"]})
+        doc = assemble_transcripts(turns).collect()[0]["doc"]
+        offs = {r["turn_idx"]: (r["turn_start"], r["turn_end"])
+                for r in intervals.turn_offsets(turns).collect()}
+        for idx, text in enumerate(["hello", "wo", "rld!"]):
+            s, e = offs[idx]
+            assert doc[s - 1 : e] == text
+
+    def test_no_marks_identity(self, spark):
+        # no-dup → identity (test_contig.py:46-49 analog)
+        turns = self._turns(spark, {"c": ["aaa", "bbb"]})
+        empty = spark.createDataFrame([], "conv_id string, start int, end int")
+        assert intervals.trim_turns(turns, empty, CFG).count() == 2
+
+    def test_full_mark_drops_conv(self, spark):
+        # fully-duplicated → empty (test_contig.py:51-54 analog)
+        turns = self._turns(spark, {"c": ["aaa", "bbb"], "d": ["zz"]})
+        marks = spark.createDataFrame([("c", 1, 7)], "conv_id string, start int, end int")
+        left = intervals.trim_turns(turns, marks, CFG)
+        assert {r["conv_id"] for r in left.collect()} == {"d"}
+
+    def test_edge_trim_drops_covered_turns_only(self, spark):
+        # 5' trim keeps the tail (test_contig.py:56-60 analog); a turn
+        # straddling the interval boundary survives verbatim
+        turns = self._turns(spark, {"c": ["aaaa", "bbbb", "cccc"]})
+        # doc = aaaa\nbbbb\ncccc ; turns at [1,4],[6,9],[11,14]
+        marks = spark.createDataFrame([("c", 1, 9)], "conv_id string, start int, end int")
+        left = intervals.trim_turns(turns, marks, CFG).collect()
+        assert sorted(r["turn_idx"] for r in left) == [2]
+        assert left[0]["text"] == "cccc"  # never rewritten
+
+    def test_min_len_gate(self, spark):
+        # surviving text below min_doc_len → conv dropped entirely
+        # (min_sequence_len gate, test_contig.py:62-66 analog)
+        cfg = DedupConfig(anchor_w=8, min_doc_len=10)
+        turns = self._turns(spark, {"c": ["aaaa", "bbbb", "cc"]})
+        marks = spark.createDataFrame([("c", 1, 9)], "conv_id string, start int, end int")
+        assert intervals.trim_turns(turns, marks, cfg).count() == 0
+
+    def test_multiple_intervals_keep_middle(self, spark):
+        # dup at both ends keeps the middle (test_contig.py:74-77 analog)
+        turns = self._turns(spark, {"c": ["aaaa", "bbbb", "cccc"]})
+        marks = spark.createDataFrame(
+            [("c", 1, 4), ("c", 11, 14)], "conv_id string, start int, end int"
+        )
+        left = intervals.trim_turns(turns, marks, CFG).collect()
+        assert sorted(r["turn_idx"] for r in left) == [1]
