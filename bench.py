@@ -34,6 +34,8 @@ def main() -> int:
         "simhash_docs",
         "verified_token_pairs",
         "cc_clusters",
+        "substring_spans",
+        "interval_marks",
         "exact_dedup_docs",
         "events_sessionize",
         "session_spans",

@@ -456,6 +456,220 @@ def _q_top_revenue_orders(spark, sf_dir):
     )
 
 
+# --------------------------------------------------- substring pass queries
+#
+# The suffix-array substring operators (operators/substring.py,
+# operators/intervals.py) over ``documents`` treated as one-doc
+# transcripts. Spark joins anchors on xxhash64 of the w-char window; the
+# DuckDB oracle joins on the window STRING itself — outputs agree because
+# hash equality ⇔ string equality (64-bit collisions aside), so the
+# custom kernels are oracle-checkable end to end.
+
+_SUB_W = 25        # anchor width (suffix-prefix chars)
+_SUB_CAP = 64      # occurrence cap per suffix key (skew guard)
+_SUB_GAP = 100     # max chain gap (chars) — scaled-down max_gap parity knob
+_SUB_MIN = 40      # min span chars reported
+
+
+def _sub_cfg():
+    from dedup_spark.config import DedupConfig
+
+    return DedupConfig(
+        anchor_w=_SUB_W, max_anchor_occ=_SUB_CAP, max_gap=_SUB_GAP,
+        min_span_len=_SUB_MIN, end_buffer=_SUB_GAP, full_dup_threshold=0.9,
+    )
+
+
+def _doc_transcripts(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select(
+        F.col("doc_id").alias("conv_id"),
+        F.col("text").alias("doc"),
+        F.lit(1).cast("long").alias("n_turns"),
+        F.length("text").cast("long").alias("doc_len"),
+    )
+
+
+def _q_substring_anchors(spark, sf_dir):
+    from dedup_spark.operators import substring
+
+    keys = substring.suffix_keys(_doc_transcripts(spark, sf_dir), _sub_cfg())
+    return substring.anchor_matches(keys, _sub_cfg()).select(
+        "conv_a", "conv_b",
+        F.col("a_pos").cast("long").alias("a_pos"),
+        F.col("b_pos").cast("long").alias("b_pos"),
+    )
+
+
+def _sub_spans_df(spark, sf_dir):
+    from dedup_spark.operators import substring
+
+    cfg = _sub_cfg()
+    keys = substring.suffix_keys(_doc_transcripts(spark, sf_dir), cfg)
+    spans = substring.chain_anchors(substring.anchor_matches(keys, cfg), cfg)
+    return spans.select(
+        "conv_a", "conv_b",
+        *[F.col(c).cast("long").alias(c)
+          for c in ("a_start", "a_end", "b_start", "b_end", "n_anchors", "matched")],
+    )
+
+
+def _q_substring_spans(spark, sf_dir):
+    return _sub_spans_df(spark, sf_dir)
+
+
+def _q_substring_best(spark, sf_dir):
+    from dedup_spark.operators import substring
+
+    return substring.best_substring_match(
+        _sub_spans_df(spark, sf_dir).withColumn("score", F.col("matched"))
+    ).drop("score")
+
+
+def _q_interval_marks(spark, sf_dir):
+    from dedup_spark.operators import intervals, substring
+
+    best = substring.best_substring_match(
+        _sub_spans_df(spark, sf_dir).withColumn("score", F.col("matched"))
+    )
+    marks = intervals.decide_intervals(best, _doc_transcripts(spark, sf_dir), _sub_cfg())
+    return marks.select(
+        F.col("conv_id").alias("doc_id"),
+        F.col("start").cast("long").alias("start"),
+        F.col("end").cast("long").alias("end"),
+        "kind",
+    )
+
+
+_ANCHORS_SQL = f"""
+grams AS (
+  SELECT doc_id AS conv_id, u.i AS pos, substr(text, cast(u.i AS int), {_SUB_W}) AS g
+  FROM documents, unnest(range(1, len(text) - {_SUB_W} + 2)) AS u(i)
+  WHERE len(text) >= {_SUB_W}
+),
+ok AS (
+  SELECT g FROM grams GROUP BY g HAVING count(*) > 1 AND count(*) <= {_SUB_CAP}
+),
+anchors AS (
+  SELECT x.conv_id AS conv_a, y.conv_id AS conv_b, x.pos AS a_pos, y.pos AS b_pos
+  FROM grams x JOIN ok USING (g) JOIN grams y USING (g)
+  WHERE x.conv_id < y.conv_id
+)
+"""
+
+_SPANS_SQL = (
+    _ANCHORS_SQL
+    + f""",
+flagged AS (
+  SELECT *, CASE WHEN lag(a_pos) OVER w IS NULL
+                   OR a_pos - lag(a_pos) OVER w > {_SUB_GAP}
+                   OR b_pos <= lag(b_pos) OVER w
+                   OR b_pos - lag(b_pos) OVER w > {_SUB_GAP}
+            THEN 1 ELSE 0 END AS new_chain
+  FROM anchors
+  WINDOW w AS (PARTITION BY conv_a, conv_b ORDER BY a_pos, b_pos)
+),
+chains AS (
+  SELECT *, sum(new_chain) OVER (PARTITION BY conv_a, conv_b ORDER BY a_pos, b_pos
+                                 ROWS UNBOUNDED PRECEDING) AS chain_id
+  FROM flagged
+),
+spans AS (
+  SELECT conv_a, conv_b,
+         min(a_pos) AS a_start, max(a_pos) + {_SUB_W - 1} AS a_end,
+         min(b_pos) AS b_start, max(b_pos) + {_SUB_W - 1} AS b_end,
+         count(*) AS n_anchors,
+         least(max(a_pos) + {_SUB_W - 1} - min(a_pos) + 1,
+               (count(*) - 1) + {_SUB_W}) AS matched
+  FROM chains GROUP BY conv_a, conv_b, chain_id
+  HAVING least(max(a_pos) + {_SUB_W - 1} - min(a_pos) + 1,
+               (count(*) - 1) + {_SUB_W}) >= {_SUB_MIN}
+)
+"""
+)
+
+_BEST_SQL = (
+    _SPANS_SQL
+    + """,
+best AS (
+  SELECT conv_a, conv_b, a_start, a_end, b_start, b_end, n_anchors, matched
+  FROM (
+    SELECT *, row_number() OVER (PARTITION BY conv_a, conv_b
+                ORDER BY matched DESC, a_start ASC, b_start ASC) AS rn
+    FROM spans
+  ) WHERE rn = 1
+)
+"""
+)
+
+_MARKS_SQL = (
+    _BEST_SQL
+    + f""",
+doclen AS (SELECT doc_id, len(text) AS dl FROM documents),
+scored AS (
+  SELECT b.*, la.dl AS len_a, lb.dl AS len_b,
+         (a_end - a_start + 1)::double / la.dl AS pct_a,
+         (b_end - b_start + 1)::double / lb.dl AS pct_b
+  FROM best b JOIN doclen la ON b.conv_a = la.doc_id
+              JOIN doclen lb ON b.conv_b = lb.doc_id
+),
+marks AS (
+  SELECT
+    CASE WHEN pct_a >= pct_b THEN
+      CASE WHEN ma_kind IS NOT NULL THEN conv_a
+           WHEN mb_kind IS NOT NULL THEN conv_b END
+    ELSE
+      CASE WHEN mb_kind IS NOT NULL THEN conv_b
+           WHEN ma_kind IS NOT NULL THEN conv_a END
+    END AS doc_id,
+    CASE WHEN pct_a >= pct_b THEN
+      CASE WHEN ma_kind IS NOT NULL THEN ma_start
+           WHEN mb_kind IS NOT NULL THEN mb_start END
+    ELSE
+      CASE WHEN mb_kind IS NOT NULL THEN mb_start
+           WHEN ma_kind IS NOT NULL THEN ma_start END
+    END AS start,
+    CASE WHEN pct_a >= pct_b THEN
+      CASE WHEN ma_kind IS NOT NULL THEN ma_end
+           WHEN mb_kind IS NOT NULL THEN mb_end END
+    ELSE
+      CASE WHEN mb_kind IS NOT NULL THEN mb_end
+           WHEN ma_kind IS NOT NULL THEN ma_end END
+    END AS "end",
+    CASE WHEN pct_a >= pct_b THEN
+      CASE WHEN ma_kind IS NOT NULL THEN ma_kind
+           WHEN mb_kind IS NOT NULL THEN mb_kind END
+    ELSE
+      CASE WHEN mb_kind IS NOT NULL THEN mb_kind
+           WHEN ma_kind IS NOT NULL THEN ma_kind END
+    END AS kind
+  FROM (
+    SELECT *,
+      CASE WHEN pct_a > 0.9 THEN 'full'
+           WHEN a_start <= {_SUB_GAP} THEN 'edge5'
+           WHEN (len_a - a_end) < {_SUB_GAP} THEN 'edge3' END AS ma_kind,
+      CASE WHEN pct_a > 0.9 THEN 1
+           WHEN a_start <= {_SUB_GAP} THEN 1
+           ELSE a_start END AS ma_start,
+      CASE WHEN pct_a > 0.9 THEN len_a
+           WHEN a_start <= {_SUB_GAP} THEN a_end
+           ELSE len_a END AS ma_end,
+      CASE WHEN pct_b > 0.9 THEN 'full'
+           WHEN b_start <= {_SUB_GAP} THEN 'edge5'
+           WHEN (len_b - b_end) < {_SUB_GAP} THEN 'edge3' END AS mb_kind,
+      CASE WHEN pct_b > 0.9 THEN 1
+           WHEN b_start <= {_SUB_GAP} THEN 1
+           ELSE b_start END AS mb_start,
+      CASE WHEN pct_b > 0.9 THEN len_b
+           WHEN b_start <= {_SUB_GAP} THEN b_end
+           ELSE len_b END AS mb_end
+    FROM scored
+  )
+)
+"""
+)
+
+
 # --- rows-only queries (non-SQL-expressible: custom hash kernels) ---
 
 def _q_minhash_candidates(spark, sf_dir):
@@ -631,6 +845,25 @@ ORDER BY revenue DESC, l_orderkey ASC LIMIT 20""",
     ),
     "minhash_lsh_candidates": QuerySpec(_q_minhash_candidates, None),
     "simhash_docs": QuerySpec(_q_simhash_docs, None),
+    "substring_anchors": QuerySpec(
+        _q_substring_anchors,
+        f"WITH {_ANCHORS_SQL} SELECT conv_a, conv_b, a_pos, b_pos FROM anchors",
+    ),
+    "substring_spans": QuerySpec(
+        _q_substring_spans,
+        f"WITH {_SPANS_SQL} SELECT conv_a, conv_b, a_start, a_end, b_start, b_end, "
+        "n_anchors, matched FROM spans",
+    ),
+    "substring_best_match": QuerySpec(
+        _q_substring_best,
+        f"WITH {_BEST_SQL} SELECT conv_a, conv_b, a_start, a_end, b_start, b_end, "
+        "n_anchors, matched FROM best",
+    ),
+    "interval_marks": QuerySpec(
+        _q_interval_marks,
+        f'WITH {_MARKS_SQL} SELECT doc_id, start, "end", kind FROM marks '
+        "WHERE doc_id IS NOT NULL",
+    ),
 }
 
 
