@@ -670,6 +670,83 @@ marks AS (
 )
 
 
+# ------------------------------------------------ ANN / multimodal queries
+
+def _q_ann_lsh_topk(spark, sf_dir):
+    """Hyperplane-LSH bucketed cosine top-k (operators/ann.py) — the
+    scale path of the similarity-search family; brute-force cosine_topk
+    is its correctness baseline. Rows-only (numpy hyperplane kernels)."""
+    from dedup_spark.operators import ann
+
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return ann.ann_topk(emb, queries, k=3, n_planes=10, dim=64, n_probes=6)
+
+
+def _q_multimodal_features(spark, sf_dir):
+    """Binary-payload decode plumbing via mapInPandas (deterministic
+    fake decode; real codecs are the stubbed integration point)."""
+    from dedup_spark.operators import multimodal
+
+    docs = _read(spark, sf_dir, "documents")
+    assets = multimodal.synthesize_assets(docs)
+    feats = multimodal.extract_features(assets)
+    return feats.select(
+        "asset_id", "kind", "dim",
+        F.round(F.aggregate("features", F.lit(0.0), lambda s, x: s + x), 4).alias(
+            "feature_sum"
+        ),
+    )
+
+
+def _q_frame_samples(spark, sf_dir):
+    from dedup_spark.operators import multimodal
+
+    docs = _read(spark, sf_dir, "documents")
+    assets = multimodal.synthesize_assets(docs)
+    return multimodal.sample_frames(assets, every_ms=1000).select(
+        "asset_id", "kind", F.col("offset_ms").cast("long").alias("offset_ms")
+    )
+
+
+FRAME_SAMPLES_SQL = """
+SELECT doc_id AS asset_id, 'audio' AS kind, u.o AS offset_ms
+FROM (SELECT doc_id, len(text) * 10 AS dur FROM documents WHERE doc_id % 2 = 1),
+     unnest(range(0, dur, 1000)) AS u(o)
+"""
+
+
+def _q_resize_plan(spark, sf_dir):
+    from dedup_spark.operators import multimodal
+
+    docs = _read(spark, sf_dir, "documents")
+    assets = multimodal.synthesize_assets(docs)
+    r = multimodal.resize_meta(assets, max_side=256).filter(
+        F.col("kind") == "image"
+    )
+    return r.select(
+        "asset_id",
+        F.col("meta.width").cast("long").alias("width"),
+        F.col("meta.height").cast("long").alias("height"),
+        F.col("resize_to.width").cast("long").alias("target_width"),
+        F.col("resize_to.height").cast("long").alias("target_height"),
+    )
+
+
+RESIZE_SQL = """
+SELECT asset_id, width::bigint AS width, height::bigint AS height,
+       floor(width * scale)::bigint AS target_width,
+       floor(height * scale)::bigint AS target_height
+FROM (
+  SELECT doc_id AS asset_id, doc_id % 640 + 32 AS width, doc_id % 480 + 32 AS height,
+         CASE WHEN doc_id % 640 + 32 > 256 OR doc_id % 480 + 32 > 256
+              THEN least(256.0 / (doc_id % 640 + 32), 256.0 / (doc_id % 480 + 32))
+              ELSE 1.0 END AS scale
+  FROM documents WHERE doc_id % 2 = 0
+)
+"""
+
+
 # --- rows-only queries (non-SQL-expressible: custom hash kernels) ---
 
 def _q_minhash_candidates(spark, sf_dir):
@@ -864,6 +941,10 @@ ORDER BY revenue DESC, l_orderkey ASC LIMIT 20""",
         f'WITH {_MARKS_SQL} SELECT doc_id, start, "end", kind FROM marks '
         "WHERE doc_id IS NOT NULL",
     ),
+    "ann_lsh_topk": QuerySpec(_q_ann_lsh_topk, None),
+    "multimodal_features": QuerySpec(_q_multimodal_features, None),
+    "frame_samples": QuerySpec(_q_frame_samples, FRAME_SAMPLES_SQL),
+    "asset_resize_plan": QuerySpec(_q_resize_plan, RESIZE_SQL),
 }
 
 

@@ -33,8 +33,10 @@ from dedup_spark.functions.udfs import make_signature_udf
 def compute_signatures(informative_sets: DataFrame, cfg: DedupConfig) -> DataFrame:
     """(conv_id, shingles) → (conv_id, shingles, n_shingles, minhash,
     simhash, bands). Narrow (no shuffle): one Arrow-batched UDF pass."""
+    from dedup_spark.util import ensure_parallelism
+
     udf = make_signature_udf(cfg)
-    nonempty = informative_sets.filter(F.size("shingles") > 0)
+    nonempty = ensure_parallelism(informative_sets.filter(F.size("shingles") > 0))
     return nonempty.withColumn("sig", udf(F.col("shingles"))).select(
         "conv_id",
         "shingles",

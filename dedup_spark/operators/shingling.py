@@ -30,7 +30,10 @@ from dedup_spark.functions.udfs import make_shingle_udf
 
 def shingle_sets(transcripts: DataFrame, cfg: DedupConfig) -> DataFrame:
     """transcripts → (conv_id, shingles array<long> DISTINCT, n_shingles)."""
+    from dedup_spark.util import ensure_parallelism
+
     udf = make_shingle_udf(cfg)
+    transcripts = ensure_parallelism(transcripts)
     return transcripts.select(
         "conv_id",
         udf(F.col("doc")).alias("shingles"),

@@ -45,20 +45,39 @@ from dedup_spark.config import DedupConfig
 def suffix_keys(transcripts: DataFrame, cfg: DedupConfig) -> DataFrame:
     """transcripts → (conv_id, pos, key): 1-based suffix position and the
     hash of the suffix's first ``anchor_w`` chars. JVM-only expression —
-    no Python, no UDF."""
+    no Python, no UDF.
+
+    Plan shape matters here: explode a plain int ``sequence`` of
+    positions and compute ``xxhash64(substr(doc, pos, w))`` in the SAME
+    whole-stage-codegen stage — the generator and the projection fuse,
+    so neither the doc string nor any per-position struct array is ever
+    materialized. (The tempting one-shot
+    ``explode(transform(sequence(...), i -> struct(i, xxhash64(...))))``
+    builds a doc_len-sized array of structs per row first — measured
+    25-50× slower and a GC storm at high parallelism.)"""
     w, stride = cfg.anchor_w, cfg.anchor_stride
+    # Partition by OUTPUT rows, not input rows: the explode amplifies each
+    # transcript ×doc_len, and the downstream bucket groupBy's map-side
+    # partial aggregation only stays hash-based (no sort fallback) while
+    # per-task distinct keys stay under the object-hash-agg threshold.
+    # ~1M windows per task keeps it there with headroom; the sizing agg is
+    # a single cheap pass over the compact transcripts table.
+    docs = transcripts.filter(F.length("doc") >= w)
+    total_chars = docs.agg(F.sum(F.length("doc"))).collect()[0][0] or 0
+    min_parts = 2 * docs.sparkSession.sparkContext.defaultParallelism
+    n_parts = int(max(min_parts, min(total_chars // (stride * 1_000_000) + 1, 20_000)))
+    if docs.rdd.getNumPartitions() < n_parts:
+        docs = docs.repartition(n_parts)
     return (
-        transcripts.filter(F.length("doc") >= w)
+        docs
         .select(
             "conv_id",
+            "doc",
             F.explode(
-                F.expr(
-                    f"transform(sequence(1, length(doc) - {w} + 1, {stride}), "
-                    f"i -> struct(i as pos, xxhash64(substr(doc, i, {w})) as key))"
-                )
-            ).alias("s"),
+                F.sequence(F.lit(1), F.length("doc") - w + 1, F.lit(stride))
+            ).alias("pos"),
         )
-        .select("conv_id", F.col("s.pos").alias("pos"), F.col("s.key").alias("key"))
+        .select("conv_id", "pos", F.expr(f"xxhash64(substr(doc, pos, {w}))").alias("key"))
     )
 
 
@@ -105,21 +124,92 @@ def anchor_matches(
     cfg: DedupConfig,
     pairs: DataFrame | None = None,
 ) -> DataFrame:
-    """Suffix-key bucketing → (conv_a, conv_b, a_pos, b_pos), conv_a <
-    conv_b (canonical order, reference dedup.py:373-376).
+    """Sorted suffix-array pass → (conv_a, conv_b, a_pos, b_pos), conv_a
+    < conv_b (canonical order, reference dedup.py:373-376).
 
-    ONE shuffle: groupBy(key) collects each bucket's occurrences (cap-
-    bounded, so the array is ≤ max_anchor_occ structs), then all
-    unordered occurrence pairs expand JVM-side inside the array
-    (`transform`/`slice`/`flatten`) — no self-join, so no mis-estimated
-    broadcast and no second scan of the (huge) exploded key table. The
-    per-key fan-out is bounded by occ·(occ−1)/2 ≤ cap²/2.
+    The distributed suffix-array formulation, entirely JVM-side: hash-
+    partition the suffix keys so equal keys co-locate and sort each
+    partition once (Spark's spill-safe external sort); a bounded window
+    frame then pairs every suffix with its ≤ max_anchor_occ predecessors
+    in the same equal-key run (``collect_list OVER (PARTITION BY key
+    ORDER BY cid, pos ROWS cap PRECEDING)`` + explode), which enumerates
+    exactly the unordered occurrence pairs of each run. Runs longer than
+    the cap are excluded via a same-partitioning count window (skew
+    guard — surface them with key_occurrence + anchor_skew_report).
+
+    This shape was chosen over two measured dead ends at 10^8 windows:
+    a collect_list groupBy (ObjectHashAggregate either sort-falls-back
+    or OOMs depending on the group-count/threshold trade) and a
+    mapInPandas scan (Arrow re-batching + per-batch Python overhead
+    dominated at production batch sizes).
+
+    The pass runs on an xxhash64 surrogate of conv_id (8-byte fixed
+    keys shuffle/sort faster than strings); real ids join back onto the
+    far smaller anchor output, restoring canonical conv_a < conv_b
+    orientation on real ids.
 
     When ``pairs`` (candidate pairs) is given, anchors are restricted to
     those pairs — the semantic-preserving restriction of the reference's
     corpus-wide self-alignment, which only ever *looks up* candidate
-    pairs (dedup.py:152; SURVEY.md §3.4)."""
-    return anchor_pairs_from_buckets(suffix_buckets(keys, cfg), cfg, pairs)
+    pairs (dedup.py:152; SURVEY.md §3.4). Restrict the *transcripts*
+    before ``suffix_keys`` where possible (pipeline does) so the explode
+    itself scales with the candidate set, not the corpus."""
+    if pairs is not None:
+        keys = restrict_keys(keys, pairs)
+    cap = cfg.max_anchor_occ
+
+    cid = F.xxhash64(F.col("conv_id").cast("string"))
+    num_keys = keys.select(cid.alias("cid"), "pos", "key")
+
+    w_cnt = W.partitionBy("key")
+    w_pred = W.partitionBy("key").orderBy("cid", "pos").rowsBetween(-cap, -1)
+    expanded = (
+        num_keys.withColumn("run_len", F.count(F.lit(1)).over(w_cnt))
+        .filter((F.col("run_len") > 1) & (F.col("run_len") <= cap))
+        .withColumn("preds", F.collect_list(F.struct("cid", "pos")).over(w_pred))
+        .select("cid", "pos", F.explode("preds").alias("p"))
+        .filter(F.col("p.cid") != F.col("cid"))
+    )
+    swap = F.col("p.cid") > F.col("cid")
+    hashed = expanded.select(
+        F.when(swap, F.col("cid")).otherwise(F.col("p.cid")).alias("cid_a"),
+        F.when(swap, F.col("p.cid")).otherwise(F.col("cid")).alias("cid_b"),
+        F.when(swap, F.col("pos")).otherwise(F.col("p.pos")).alias("a_pos"),
+        F.when(swap, F.col("p.pos")).otherwise(F.col("pos")).alias("b_pos"),
+    )
+
+    # decode surrogates → real ids; restore canonical order on real ids
+    # (hash order and id order can disagree per pair)
+    conv_dict = keys.select("conv_id").dropDuplicates().select(
+        F.col("conv_id"), cid.alias("cid")
+    )
+    da = conv_dict.select(F.col("cid").alias("cid_a"), F.col("conv_id").alias("id_a"))
+    db = conv_dict.select(F.col("cid").alias("cid_b"), F.col("conv_id").alias("id_b"))
+    dec = hashed.join(da, "cid_a").join(db, "cid_b")
+    flip = F.col("id_a") > F.col("id_b")
+    out = dec.select(
+        F.when(flip, F.col("id_b")).otherwise(F.col("id_a")).alias("conv_a"),
+        F.when(flip, F.col("id_a")).otherwise(F.col("id_b")).alias("conv_b"),
+        F.when(flip, F.col("b_pos")).otherwise(F.col("a_pos")).alias("a_pos"),
+        F.when(flip, F.col("a_pos")).otherwise(F.col("b_pos")).alias("b_pos"),
+    )
+    if pairs is not None:
+        out = out.join(
+            pairs.select("conv_a", "conv_b").dropDuplicates(),
+            ["conv_a", "conv_b"],
+            "left_semi",
+        )
+    return out
+
+
+def restrict_keys(keys: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Keep only suffixes of conversations appearing in some pair."""
+    convs = (
+        pairs.select(F.col("conv_a").alias("conv_id"))
+        .union(pairs.select(F.col("conv_b").alias("conv_id")))
+        .distinct()
+    )
+    return keys.join(convs, "conv_id", "left_semi")
 
 
 def anchor_pairs_from_buckets(

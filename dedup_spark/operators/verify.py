@@ -37,7 +37,17 @@ def verify_pairs(
         F.col("n_shingles").alias("n_b"),
         F.col("simhash").alias("simhash_b"),
     )
-    joined = pairs.join(sig_a, "conv_a").join(sig_b, "conv_b")
+    # Join shape, pinned for scale: the pairs side is orders of magnitude
+    # smaller than signatures (it only exists because LSH already pruned
+    # the quadratic space), so it drives both joins; the signature sides
+    # are hinted shuffle_hash so Catalyst never tries to BROADCAST the
+    # signature table (it carries the full shingle arrays — broadcasting
+    # it is impossible at corpus scale and was observed mis-planned when
+    # fresh table stats were missing).
+    joined = (
+        pairs.join(sig_a.hint("shuffle_hash"), "conv_a")
+        .join(sig_b.hint("shuffle_hash"), "conv_b")
+    )
 
     hamming = F.bit_count(
         F.col("simhash_a").bitwiseXOR(F.col("simhash_b"))

@@ -114,17 +114,28 @@ class DedupPipeline:
         # contract with its per-turn-equality invariant); ``trimmed_turns``
         # additionally applies the reference's interval-trim semantics
         # (contig.py:134-191) at turn granularity.
-        skeys = substring.suffix_keys(transcripts, cfg)
-        buckets = cat.stage(
-            "suffix_buckets", lambda: substring.suffix_buckets(skeys, cfg)
+        # The suffix pass is restricted to candidate-pair conversations
+        # BEFORE the explode (a semi-join on the compact transcripts
+        # table, not the ×doc_len key table), so its volume tracks the
+        # candidate set, not the corpus. Anchors come from the sorted
+        # suffix-array pass (bounded memory); the skew report is a plain
+        # count aggregation over the same keys.
+        cand_convs = (
+            candidates.select(F.col("conv_a").alias("conv_id"))
+            .union(candidates.select(F.col("conv_b").alias("conv_id")))
+            .distinct()
+        )
+        skeys = substring.suffix_keys(
+            transcripts.join(cand_convs, "conv_id", "left_semi"), cfg
         )
         anchor_skew = cat.stage(
-            "anchor_skew", lambda: substring.anchor_skew_report(buckets, cfg)
+            "anchor_skew",
+            lambda: substring.anchor_skew_report(substring.key_occurrence(skeys), cfg),
         )
         spans = cat.stage(
             "substring_spans",
             lambda: substring.chain_anchors(
-                substring.anchor_pairs_from_buckets(buckets, cfg, pairs=candidates), cfg
+                substring.anchor_matches(skeys, cfg, pairs=candidates), cfg
             ),
         )
         best_spans = substring.best_substring_match(spans)

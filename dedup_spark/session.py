@@ -41,14 +41,38 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        # collect_list/collect_set aggregations (transcript assembly,
+        # informative-set regroup, suffix buckets) use ObjectHashAggregate,
+        # which falls back to SORT-based aggregation after only 128 map
+        # entries by default — that turns every wide grouping into a full
+        # sort + spill. Our collect_list groups are conversation-keyed
+        # (bounded lists, modest group counts per task once AQE sizes the
+        # partitions), so half a million in-memory groups per task is a
+        # safe trade — big enough to stay hash-based, small enough not to
+        # blow the heap at high parallelism. (Suffix anchors deliberately
+        # avoid object aggregation entirely — sorted mapInPandas pass.)
+        .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", str(1 << 19))
+        # High initial shuffle width; AQE coalesces every exchange down to
+        # advisory-sized partitions, so wide aggs get parallelism while
+        # small shuffles still collapse to a few tasks.
+        .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "512")
     )
+    # Shuffle/spill on tmpfs when available: the sandbox's block device is
+    # heavily throttled, which turns shuffle-heavy stages I/O-bound and
+    # hides CPU scaling; a cluster's NVMe scratch is the real-world analog.
+    if master is not None and os.path.isdir("/dev/shm"):
+        builder = builder.config(
+            "spark.local.dir", os.environ.get("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/spark-scratch")
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    # size the shuffle to the actual parallelism (runtime-mutable SQL conf;
-    # under spark-submit this follows --master, not our local default)
+    # Base shuffle width: several waves per core so wide aggregations
+    # (suffix buckets, shingle DF) keep per-task group counts under the
+    # object-hash-agg fallback threshold; AQE coalesces the partitions of
+    # SMALL shuffles back down, so narrow stages don't pay for the width.
     if shuffle_partitions is None:
-        shuffle_partitions = max(8, spark.sparkContext.defaultParallelism)
+        shuffle_partitions = max(64, 4 * spark.sparkContext.defaultParallelism)
     spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
     return spark

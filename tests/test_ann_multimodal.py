@@ -1,0 +1,158 @@
+"""ANN (hyperplane LSH) and multimodal plumbing tests."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from dedup_spark.operators import ann, multimodal
+
+DIM = 16
+
+
+def _emb_df(spark, vecs: dict[int, np.ndarray]):
+    rows = [(k, [float(x) for x in v]) for k, v in vecs.items()]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def _cluster_vecs(seed=3, n_clusters=5, per=8):
+    """Well-separated clusters: ANN must find same-cluster neighbours."""
+    rng = np.random.Generator(np.random.PCG64(seed))
+    centers = rng.standard_normal((n_clusters, DIM)) * 10
+    vecs, labels = {}, {}
+    i = 0
+    for c in range(n_clusters):
+        for _ in range(per):
+            vecs[i] = centers[c] + rng.standard_normal(DIM) * 0.05
+            labels[i] = c
+            i += 1
+    return vecs, labels
+
+
+class TestAnn:
+    def test_bucket_udf_deterministic_and_sign_based(self, spark):
+        vecs = {0: np.ones(DIM), 1: np.ones(DIM) * 2, 2: -np.ones(DIM)}
+        df = _emb_df(spark, vecs)
+        cast = F.transform("embedding", lambda x: x.cast("double"))
+        b = ann.bucket_ids(
+            df.select("vec_id", cast.alias("cv")), "cv", n_planes=8, dim=DIM
+        ).collect()
+        by_id = {r["vec_id"]: r["bucket"] for r in b}
+        # scaling a vector never changes its sign signature
+        assert by_id[0] == by_id[1]
+        # antipodal vector flips every plane → complementary bucket
+        assert by_id[2] == (~by_id[0]) & 0xFF
+
+    def test_ann_matches_brute_force_on_clusters(self, spark):
+        vecs, labels = _cluster_vecs()
+        df = _emb_df(spark, vecs)
+        queries = df.filter(F.col("vec_id") < 5)
+        got = ann.ann_topk(
+            df, queries, k=3, n_planes=8, dim=DIM, n_probes=4
+        ).collect()
+        assert len(got) > 0
+        # every returned neighbour of a clustered query is from the same
+        # cluster (clusters are far apart), with near-1 cosine
+        for r in got:
+            assert labels[r["neighbor_id"]] == labels[r["query_id"]]
+            assert r["sim"] > 0.99
+
+    def test_ann_recall_vs_bruteforce(self, spark):
+        vecs, _ = _cluster_vecs(seed=11, n_clusters=4, per=10)
+        df = _emb_df(spark, vecs)
+        queries = df.filter(F.col("vec_id") < 8)
+        got = ann.ann_topk(df, queries, k=3, n_planes=8, dim=DIM, n_probes=6)
+        ann_pairs = {(r["query_id"], r["neighbor_id"]) for r in got.collect()}
+
+        # brute-force oracle in numpy
+        ids = sorted(vecs)
+        m = np.stack([vecs[i] for i in ids])
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        sims = m @ m.T
+        truth = set()
+        for qi in range(8):
+            order = [
+                j for j in np.argsort(-np.round(sims[qi], 4), kind="stable")
+                if j != qi
+            ]
+            truth |= {(qi, ids[j]) for j in order[:3]}
+        recall = len(ann_pairs & truth) / len(truth)
+        assert recall >= 0.9, sorted(truth - ann_pairs)
+
+    def test_bucket_skew_report(self, spark):
+        # identical vectors all land in one bucket → report fires
+        df = _emb_df(spark, {i: np.ones(DIM) for i in range(30)})
+        rep = ann.bucket_skew_report(df, n_planes=8, dim=DIM, max_bucket=10)
+        rows = rep.collect()
+        assert len(rows) == 1 and rows[0]["bucket_size"] == 30
+
+
+class TestMultimodal:
+    @pytest.fixture()
+    def assets(self, spark):
+        docs = spark.createDataFrame(
+            [(i, f"payload text {i} " * (i + 1), "en", "s", 10) for i in range(6)],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+        return multimodal.synthesize_assets(docs)
+
+    def test_asset_schema_and_kinds(self, assets):
+        rows = assets.collect()
+        assert {r["kind"] for r in rows} == {"image", "audio"}
+        for r in rows:
+            assert isinstance(r["payload"], (bytes, bytearray))
+            if r["kind"] == "image":
+                assert r["meta"]["width"] > 0 and r["meta"]["sample_rate"] is None
+            else:
+                assert r["meta"]["sample_rate"] == 16000
+
+    def test_extract_features_shape_and_determinism(self, spark, assets):
+        f1 = multimodal.extract_features(assets).orderBy("asset_id").collect()
+        f2 = (
+            multimodal.extract_features(assets.repartition(5))
+            .orderBy("asset_id")
+            .collect()
+        )
+        assert len(f1) == 6
+        for a, b in zip(f1, f2):
+            assert a["dim"] == multimodal.FEATURE_DIM
+            assert len(a["features"]) == multimodal.FEATURE_DIM
+            # partitioning/batching must not change decoded features
+            assert a["features"] == b["features"]
+
+    def test_real_decode_is_explicitly_stubbed(self):
+        with pytest.raises(NotImplementedError):
+            multimodal.decode_asset_batch(
+                pd.Series([b"x"]), pd.Series(["image"])
+            )
+
+    def test_resize_meta(self, spark):
+        docs = spark.createDataFrame(
+            [(0, "t", "en", "s", 1)],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+        a = multimodal.synthesize_assets(docs)
+        # force a large image to check downscale arithmetic
+        big = a.withColumn(
+            "meta",
+            F.struct(
+                F.lit(640).alias("width"), F.lit(480).alias("height"),
+                F.lit(None).cast("int").alias("sample_rate"),
+                F.lit(None).cast("int").alias("duration_ms"),
+            ),
+        )
+        r = multimodal.resize_meta(big, max_side=256).collect()[0]["resize_to"]
+        assert (r["width"], r["height"]) == (256, 192)
+
+    def test_sample_frames(self, spark, assets):
+        frames = multimodal.sample_frames(assets, every_ms=500)
+        pdf = frames.toPandas()
+        assert (pdf["kind"] == "audio").all()  # only timed media
+        assert (pdf["offset_ms"] % 500 == 0).all()
+        # one asset's frame count matches its duration
+        a0 = assets.filter(F.col("kind") == "audio").collect()[0]
+        expect = (a0["meta"]["duration_ms"] + 499) // 500
+        got = (pdf["asset_id"] == a0["asset_id"]).sum()
+        assert got == expect
