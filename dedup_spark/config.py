@@ -61,6 +61,10 @@ class DedupConfig:
     max_anchor_occ: int = 64          # corpus-wide occurrence cap per suffix
                                       # key (skew guard; capped keys reported)
     min_span_len: int = 50            # chained-span report floor (chars)
+    suffix_parts: int | None = None   # explicit partition count for the
+                                      # suffix-key explode; None → derive
+                                      # from total_chars when the caller
+                                      # supplies it, else 2×parallelism
 
     # --- scale / skew handling ---
     max_band_bucket: int = 200   # cap on LSH bucket size; oversized buckets

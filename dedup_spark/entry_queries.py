@@ -493,8 +493,9 @@ def _doc_transcripts(spark, sf_dir):
 def _q_substring_anchors(spark, sf_dir):
     from dedup_spark.operators import substring
 
-    keys = substring.suffix_keys(_doc_transcripts(spark, sf_dir), _sub_cfg())
-    return substring.anchor_matches(keys, _sub_cfg()).select(
+    t = _doc_transcripts(spark, sf_dir)
+    keys = substring.suffix_keys(t, _sub_cfg())
+    return substring.anchor_matches(keys, _sub_cfg(), convs=t).select(
         "conv_a", "conv_b",
         F.col("a_pos").cast("long").alias("a_pos"),
         F.col("b_pos").cast("long").alias("b_pos"),
@@ -505,8 +506,11 @@ def _sub_spans_df(spark, sf_dir):
     from dedup_spark.operators import substring
 
     cfg = _sub_cfg()
-    keys = substring.suffix_keys(_doc_transcripts(spark, sf_dir), cfg)
-    spans = substring.chain_anchors(substring.anchor_matches(keys, cfg), cfg)
+    t = _doc_transcripts(spark, sf_dir)
+    keys = substring.suffix_keys(t, cfg)
+    spans = substring.chain_anchors(
+        substring.anchor_matches(keys, cfg, convs=t), cfg
+    )
     return spans.select(
         "conv_a", "conv_b",
         *[F.col(c).cast("long").alias(c)
@@ -615,28 +619,28 @@ scored AS (
 ),
 marks AS (
   SELECT
-    CASE WHEN pct_a >= pct_b THEN
+    CASE WHEN pct_a > pct_b THEN
       CASE WHEN ma_kind IS NOT NULL THEN conv_a
            WHEN mb_kind IS NOT NULL THEN conv_b END
     ELSE
       CASE WHEN mb_kind IS NOT NULL THEN conv_b
            WHEN ma_kind IS NOT NULL THEN conv_a END
     END AS doc_id,
-    CASE WHEN pct_a >= pct_b THEN
+    CASE WHEN pct_a > pct_b THEN
       CASE WHEN ma_kind IS NOT NULL THEN ma_start
            WHEN mb_kind IS NOT NULL THEN mb_start END
     ELSE
       CASE WHEN mb_kind IS NOT NULL THEN mb_start
            WHEN ma_kind IS NOT NULL THEN ma_start END
     END AS start,
-    CASE WHEN pct_a >= pct_b THEN
+    CASE WHEN pct_a > pct_b THEN
       CASE WHEN ma_kind IS NOT NULL THEN ma_end
            WHEN mb_kind IS NOT NULL THEN mb_end END
     ELSE
       CASE WHEN mb_kind IS NOT NULL THEN mb_end
            WHEN ma_kind IS NOT NULL THEN ma_end END
     END AS "end",
-    CASE WHEN pct_a >= pct_b THEN
+    CASE WHEN pct_a > pct_b THEN
       CASE WHEN ma_kind IS NOT NULL THEN ma_kind
            WHEN mb_kind IS NOT NULL THEN mb_kind END
     ELSE

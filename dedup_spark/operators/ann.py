@@ -33,17 +33,23 @@ def _planes(n_planes: int, dim: int, seed: int) -> np.ndarray:
 
 
 def make_bucket_udf(n_planes: int, dim: int, seed: int):
-    """array<float> embedding → int bucket id (sign-bit signature)."""
+    """array<float> embedding → long bucket id (sign-bit signature).
+
+    int64 buckets: n_planes up to 62 without sign-bit aliasing (bit 62 is
+    the top usable bit; multiprobe XORs stay positive). An int32 bucket
+    would silently wrap at n_planes >= 32, aliasing distinct signatures."""
+    if not 1 <= n_planes <= 62:
+        raise ValueError(f"n_planes must be in [1, 62], got {n_planes}")
     planes = _planes(n_planes, dim, seed)
 
-    @F.pandas_udf(T.IntegerType())
+    @F.pandas_udf(T.LongType())
     def bucket_udf(embs: pd.Series) -> pd.Series:
         if len(embs) == 0:
-            return pd.Series([], dtype="int32")
+            return pd.Series([], dtype="int64")
         m = np.stack([np.asarray(e, dtype=np.float64) for e in embs])
         bits = (m @ planes.T) > 0  # (n, n_planes)
-        weights = (1 << np.arange(n_planes)).astype(np.int64)
-        return pd.Series((bits @ weights).astype(np.int32))
+        weights = (np.int64(1) << np.arange(n_planes, dtype=np.int64))
+        return pd.Series((bits @ weights).astype(np.int64))
 
     return bucket_udf
 

@@ -81,9 +81,11 @@ def decide_intervals(
 
     mark_a = side_mark(F.col("pct_a"), F.col("a_start"), F.col("a_end"), F.col("len_a"))
     mark_b = side_mark(F.col("pct_b"), F.col("b_start"), F.col("b_end"), F.col("len_b"))
-    # primary = more-duplicated side (dedup.py:244-255); fall back to the
-    # other side when the primary admits no rule (dedup.py:290-307)
-    a_primary = F.col("pct_a") >= F.col("pct_b")
+    # primary = more-duplicated side, STRICT comparison so exact ties mark
+    # conv_b — reference parity (dedup.py:247 `contig1_percent_duplicated >
+    # contig2_percent_duplicated`, else branch picks contig2); fall back to
+    # the other side when the primary admits no rule (dedup.py:290-307)
+    a_primary = F.col("pct_a") > F.col("pct_b")
     chosen_conv = (
         F.when(a_primary & mark_a.isNotNull(), F.col("conv_a"))
         .when(a_primary & mark_b.isNotNull(), F.col("conv_b"))
@@ -107,13 +109,16 @@ def decide_intervals(
 def merge_intervals(marks: DataFrame) -> DataFrame:
     """(conv_id, start, end) → maximal merged intervals per conv
     (contig.py:168-178 union semantics): running-max window scan, a new
-    group starts when an interval begins past everything seen so far."""
+    group starts when an interval begins past everything seen so far.
+    ADJACENT intervals merge too (start == prev_max_end + 1): positions
+    are integral, so [1,50]+[51,100] covers [1,100] with no gap — a turn
+    straddling 50/51 must count as covered."""
     win = W.partitionBy("conv_id").orderBy("start", "end")
     prev_max_end = F.max("end").over(win.rowsBetween(W.unboundedPreceding, -1))
     grouped = marks.withColumn(
         "grp",
         F.sum(
-            (prev_max_end.isNull() | (F.col("start") > prev_max_end)).cast("int")
+            (prev_max_end.isNull() | (F.col("start") > prev_max_end + 1)).cast("int")
         ).over(win.rowsBetween(W.unboundedPreceding, 0)),
     )
     return grouped.groupBy("conv_id", "grp").agg(

@@ -42,10 +42,14 @@ from pyspark.sql import DataFrame, Window as W, functions as F
 from dedup_spark.config import DedupConfig
 
 
-def suffix_keys(transcripts: DataFrame, cfg: DedupConfig) -> DataFrame:
+def suffix_keys(
+    transcripts: DataFrame, cfg: DedupConfig, total_chars: int | None = None
+) -> DataFrame:
     """transcripts → (conv_id, pos, key): 1-based suffix position and the
     hash of the suffix's first ``anchor_w`` chars. JVM-only expression —
-    no Python, no UDF.
+    no Python, no UDF, and fully LAZY: no Spark job runs at
+    DataFrame-construction time (an eager sizing agg here used to
+    re-execute the whole upstream once per composed query).
 
     Plan shape matters here: explode a plain int ``sequence`` of
     positions and compute ``xxhash64(substr(doc, pos, w))`` in the SAME
@@ -54,22 +58,32 @@ def suffix_keys(transcripts: DataFrame, cfg: DedupConfig) -> DataFrame:
     materialized. (The tempting one-shot
     ``explode(transform(sequence(...), i -> struct(i, xxhash64(...))))``
     builds a doc_len-sized array of structs per row first — measured
-    25-50× slower and a GC storm at high parallelism.)"""
+    25-50× slower and a GC storm at high parallelism.)
+
+    Partitioning is by OUTPUT rows, not input rows: the explode amplifies
+    each transcript ×doc_len, and the downstream bucket groupBy's
+    map-side partial aggregation only stays hash-based (no sort fallback)
+    while per-task distinct keys stay under the object-hash-agg
+    threshold; ~1M windows per task keeps it there with headroom. The
+    count comes from, in order: ``cfg.suffix_parts`` (explicit knob),
+    the caller-supplied ``total_chars`` (the pipeline passes a single
+    cheap agg over its already-checkpointed transcripts stage), else
+    2×defaultParallelism — adequate for interactive/small-sf use where
+    AQE re-splits, while production corpora should supply one of the
+    first two."""
     w, stride = cfg.anchor_w, cfg.anchor_stride
-    # Partition by OUTPUT rows, not input rows: the explode amplifies each
-    # transcript ×doc_len, and the downstream bucket groupBy's map-side
-    # partial aggregation only stays hash-based (no sort fallback) while
-    # per-task distinct keys stay under the object-hash-agg threshold.
-    # ~1M windows per task keeps it there with headroom; the sizing agg is
-    # a single cheap pass over the compact transcripts table.
     docs = transcripts.filter(F.length("doc") >= w)
-    total_chars = docs.agg(F.sum(F.length("doc"))).collect()[0][0] or 0
-    min_parts = 2 * docs.sparkSession.sparkContext.defaultParallelism
-    n_parts = int(max(min_parts, min(total_chars // (stride * 1_000_000) + 1, 20_000)))
-    if docs.rdd.getNumPartitions() < n_parts:
-        docs = docs.repartition(n_parts)
+    if cfg.suffix_parts is not None:
+        n_parts = cfg.suffix_parts
+    elif total_chars is not None:
+        min_parts = 2 * docs.sparkSession.sparkContext.defaultParallelism
+        n_parts = int(
+            max(min_parts, min(total_chars // (stride * 1_000_000) + 1, 20_000))
+        )
+    else:
+        n_parts = 2 * docs.sparkSession.sparkContext.defaultParallelism
     return (
-        docs
+        docs.repartition(n_parts)
         .select(
             "conv_id",
             "doc",
@@ -123,6 +137,7 @@ def anchor_matches(
     keys: DataFrame,
     cfg: DedupConfig,
     pairs: DataFrame | None = None,
+    convs: DataFrame | None = None,
 ) -> DataFrame:
     """Sorted suffix-array pass → (conv_a, conv_b, a_pos, b_pos), conv_a
     < conv_b (canonical order, reference dedup.py:373-376).
@@ -179,8 +194,15 @@ def anchor_matches(
     )
 
     # decode surrogates → real ids; restore canonical order on real ids
-    # (hash order and id order can disagree per pair)
-    conv_dict = keys.select("conv_id").dropDuplicates().select(
+    # (hash order and id order can disagree per pair). The dictionary
+    # comes from the compact ``convs`` source when given (pipeline passes
+    # its transcripts stage) — deriving it from ``keys`` would re-scan
+    # and re-shuffle the ×doc_len exploded table just to recover ids that
+    # exist compactly upstream. xxhash64 surrogate collisions across
+    # conv_ids would misjoin; at 64 bits the birthday bound keeps the
+    # collision probability < 1e-7 even at 10^9 conversations.
+    conv_src = convs if convs is not None else keys
+    conv_dict = conv_src.select("conv_id").dropDuplicates().select(
         F.col("conv_id"), cid.alias("cid")
     )
     da = conv_dict.select(F.col("cid").alias("cid_a"), F.col("conv_id").alias("id_a"))
@@ -313,5 +335,5 @@ def substring_matches(
 ) -> DataFrame:
     """End-to-end substring pass: transcripts → best span per pair."""
     keys = suffix_keys(transcripts, cfg)
-    anchors = anchor_matches(keys, cfg, pairs)
+    anchors = anchor_matches(keys, cfg, pairs, convs=transcripts)
     return best_substring_match(chain_anchors(anchors, cfg))

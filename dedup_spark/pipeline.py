@@ -125,9 +125,13 @@ class DedupPipeline:
             .union(candidates.select(F.col("conv_b").alias("conv_id")))
             .distinct()
         )
-        skeys = substring.suffix_keys(
-            transcripts.join(cand_convs, "conv_id", "left_semi"), cfg
+        cand_transcripts = transcripts.join(cand_convs, "conv_id", "left_semi")
+        # one cheap column-pruned agg over the checkpointed transcripts
+        # parquet sizes the suffix explode (suffix_keys itself stays lazy)
+        total_chars = (
+            cand_transcripts.agg(F.sum("doc_len")).collect()[0][0] or 0
         )
+        skeys = substring.suffix_keys(cand_transcripts, cfg, total_chars=total_chars)
         anchor_skew = cat.stage(
             "anchor_skew",
             lambda: substring.anchor_skew_report(substring.key_occurrence(skeys), cfg),
@@ -135,7 +139,10 @@ class DedupPipeline:
         spans = cat.stage(
             "substring_spans",
             lambda: substring.chain_anchors(
-                substring.anchor_matches(skeys, cfg, pairs=candidates), cfg
+                substring.anchor_matches(
+                    skeys, cfg, pairs=candidates, convs=cand_transcripts
+                ),
+                cfg,
             ),
         )
         best_spans = substring.best_substring_match(spans)

@@ -197,6 +197,27 @@ class TestIntervalDecision:
         m = intervals.decide_intervals(spans, t, CFG).collect()[0]
         assert (m["conv_id"], m["kind"]) == ("a", "edge5")
 
+    def test_exact_tie_marks_conv_b(self, spark):
+        # equal duplicated fractions → strict > picks conv_b as primary
+        # (reference dedup.py:247 else-branch parity)
+        spans = self._spans(spark, [("a", "b", 1, 95, 1, 95, 10, 95, 95)])
+        t = self._lens(spark, {"a": 100, "b": 100})  # both 95% covered
+        marks = intervals.decide_intervals(spans, t, CFG).collect()
+        assert len(marks) == 1
+        assert marks[0]["conv_id"] == "b"
+
+    def test_merge_adjacent_intervals(self, spark):
+        # [1,50] + [51,100] touch with no gap → one merged interval
+        marks = spark.createDataFrame(
+            [("c", 1, 50), ("c", 51, 100), ("c", 103, 110)],
+            "conv_id string, start int, end int",
+        )
+        got = {
+            (r["conv_id"], r["start"], r["end"])
+            for r in intervals.merge_intervals(marks).collect()
+        }
+        assert got == {("c", 1, 100), ("c", 103, 110)}
+
     def test_merge_intervals(self, spark):
         marks = spark.createDataFrame(
             [("c", 1, 50), ("c", 40, 80), ("c", 200, 300), ("d", 5, 10)],
