@@ -49,6 +49,12 @@ def main() -> int:
         "top_revenue_orders",
     ]
 
+    # Untimed warmup: the first action in a fresh session pays ~5-10s of
+    # JVM/codegen/executor warmup that would otherwise be attributed to
+    # whichever query happens to run first.
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    QUERIES["turns_from_documents"].spark_fn(spark, sf_dir).count()
+
     timings: dict[str, float] = {}
     total = 0.0
     for name in headline:

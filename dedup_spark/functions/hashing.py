@@ -164,6 +164,95 @@ def band_hashes(signature: np.ndarray, bands: int, rows_per_band: int) -> np.nda
     return acc.view(np.int64)
 
 
+# ---------------------------------------------------------------- batch
+# Batch-level kernels: one call per Arrow batch instead of one numpy
+# call per row. Outputs are bit-identical to the per-row kernels above
+# (same premix, same hash family) — the per-row forms remain the oracle
+# reference and are property-tested against these.
+
+def segment_offsets(lens: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Row lengths → (starts, ends) offsets into the concatenation."""
+    ends = np.cumsum(lens, dtype=np.int64)
+    starts = np.empty_like(ends)
+    starts[0] = 0
+    starts[1:] = ends[:-1]
+    return starts, ends
+
+
+def minhash_batch(
+    premixed: np.ndarray, starts: np.ndarray, ends: np.ndarray,
+    a: np.ndarray, b: np.ndarray,
+) -> np.ndarray:
+    """Segment-min MinHash over a premixed concatenation → int64[n, perm].
+
+    ``premixed`` is splitmix64 of ALL rows' shingles concatenated in row
+    order; empty rows (start == end) get the all-(-1) sentinel exactly
+    like :func:`minhash_signature`.
+
+    The segment minimum is a per-row loop over contiguous slices with a
+    SIMD ``min(axis=1)`` per slice — measured ~30× faster than the
+    "fully batched" ``np.minimum.reduceat`` formulation (reduceat is a
+    per-element ufunc dispatch loop, not vectorized). The shingle axis
+    is chunked so the (perm × slice) temporary stays cache-resident."""
+    num_perm = a.shape[0]
+    n = starts.shape[0]
+    out = np.full((n, num_perm), -1, dtype=np.int64)
+    nonempty = np.nonzero(ends > starts)[0]
+    if nonempty.size == 0:
+        return out
+    a2, b2 = a[:, None], b[:, None]
+    chunk = max(1, 1_048_576 // num_perm)
+    acc = np.empty(num_perm, dtype=U64)
+    with np.errstate(over="ignore"):
+        for i in nonempty:
+            block = premixed[starts[i] : ends[i]]
+            if block.shape[0] <= chunk:
+                out[i] = ((a2 * block[None, :] + b2) & _MASK).min(axis=1).view(np.int64)
+                continue
+            acc.fill(_MASK)
+            for j in range(0, block.shape[0], chunk):
+                hv = (a2 * block[None, j : j + chunk] + b2) & _MASK
+                np.minimum(acc, hv.min(axis=1), out=acc)
+            out[i] = acc.view(np.int64)
+    return out
+
+
+def simhash_batch(
+    premixed: np.ndarray, starts: np.ndarray, ends: np.ndarray
+) -> np.ndarray:
+    """Per-bit majority SimHash over a premixed concatenation → int64[n].
+
+    Votes accumulate bit-by-bit ((x >> j) & 1 then segment-sum) — no
+    unpacked (total × 64) temporary, so memory stays O(total)."""
+    n = starts.shape[0]
+    out = np.zeros(n, dtype=np.int64)
+    nonempty = np.nonzero(ends > starts)[0]
+    if nonempty.size == 0:
+        return out
+    red_off = starts[nonempty]
+    counts = (ends - starts)[nonempty].astype(np.int64)
+    votes = np.empty((nonempty.size, 64), dtype=np.int64)
+    one = U64(1)
+    for j in range(64):
+        bit_j = (premixed >> U64(j)) & one
+        votes[:, j] = np.add.reduceat(bit_j, red_off).astype(np.int64)
+    maj = (votes * 2 > counts[:, None]).astype(np.uint8)
+    packed = np.packbits(maj, axis=1, bitorder="little").view(U64).ravel()
+    out[nonempty] = packed.view(np.int64)
+    return out
+
+
+def band_hashes_batch(signatures: np.ndarray, bands: int, rows_per_band: int) -> np.ndarray:
+    """Row-batched :func:`band_hashes`: int64[n, perm] → int64[n, bands]."""
+    sig = signatures.view(U64).reshape(signatures.shape[0], bands, rows_per_band)
+    acc = np.full((signatures.shape[0], bands), U64(0xCBF29CE484222325), dtype=U64)
+    with np.errstate(over="ignore"):
+        for r in range(rows_per_band):
+            acc = splitmix64(acc ^ sig[:, :, r])
+        acc = splitmix64(acc ^ np.arange(bands, dtype=U64)[None, :])
+    return acc.view(np.int64)
+
+
 def hamming64(a: int, b: int) -> int:
     """Hamming distance between two 64-bit signatures."""
     return int(bin((int(a) ^ int(b)) & 0xFFFFFFFFFFFFFFFF).count("1"))

@@ -52,13 +52,27 @@ def make_signature_udf(cfg: DedupConfig):
 
     @F.pandas_udf(_SIG_SCHEMA)
     def signature_udf(shingle_sets: pd.Series) -> pd.DataFrame:
-        mh, sh, bh = [], [], []
-        for s in shingle_sets:
-            arr = np.asarray(s, dtype=np.int64)
-            sig = hashing.minhash_signature(arr, a, b)
-            mh.append(sig)
-            sh.append(hashing.simhash_signature(arr))
-            bh.append(hashing.band_hashes(sig, bands, rows))
-        return pd.DataFrame({"minhash": mh, "simhash": sh, "bands": bh})
+        """Whole-batch vectorization: concatenate every row's shingles,
+        premix once, then segment-reduce (minhash minima, simhash bit
+        votes) across the entire Arrow batch — no per-row numpy
+        dispatch. Bit-identical to the per-row kernels (property-tested
+        in tests/test_hashing.py)."""
+        n = len(shingle_sets)
+        if n == 0:
+            return pd.DataFrame({"minhash": [], "simhash": [], "bands": []})
+        arrs = [np.asarray(s, dtype=np.int64) for s in shingle_sets]
+        lens = np.fromiter((arr.shape[0] for arr in arrs), dtype=np.int64, count=n)
+        starts, ends = hashing.segment_offsets(lens)
+        if int(lens.sum()) == 0:
+            concat = np.empty(0, dtype=np.int64)
+        else:
+            concat = np.concatenate([arr for arr in arrs if arr.shape[0]])
+        premixed = hashing.splitmix64(concat.view(hashing.U64))
+        sig = hashing.minhash_batch(premixed, starts, ends, a, b)
+        sh = hashing.simhash_batch(premixed, starts, ends)
+        bh = hashing.band_hashes_batch(sig, bands, rows)
+        return pd.DataFrame(
+            {"minhash": list(sig), "simhash": sh, "bands": list(bh)}
+        )
 
     return signature_udf

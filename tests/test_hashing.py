@@ -105,6 +105,43 @@ def test_banding_recall_curve():
         assert hits / trials >= expect - 0.2, (J, hits / trials, expect)
 
 
+def test_batch_kernels_match_per_row():
+    """Batch (concat + segment-reduce) kernels are bit-identical to the
+    per-row kernels, including empty rows at every position."""
+    a, b = H.minhash_params(128, 42)
+    rng = np.random.Generator(np.random.PCG64(7))
+    rows = [
+        np.empty(0, dtype=np.int64),
+        rng.integers(-(2**62), 2**62, size=1, dtype=np.int64),
+        rng.integers(-(2**62), 2**62, size=700, dtype=np.int64),
+        np.empty(0, dtype=np.int64),
+        rng.integers(-(2**62), 2**62, size=3000, dtype=np.int64),
+        rng.integers(-(2**62), 2**62, size=17, dtype=np.int64),
+        np.empty(0, dtype=np.int64),
+    ]
+    lens = np.array([r.shape[0] for r in rows], dtype=np.int64)
+    starts, ends = H.segment_offsets(lens)
+    concat = np.concatenate([r for r in rows if r.shape[0]])
+    premixed = H.splitmix64(concat.view(H.U64))
+
+    sig_batch = H.minhash_batch(premixed, starts, ends, a, b)
+    sh_batch = H.simhash_batch(premixed, starts, ends)
+    bh_batch = H.band_hashes_batch(sig_batch, 64, 2)
+    for i, r in enumerate(rows):
+        sig_i = H.minhash_signature(r, a, b)
+        assert (sig_batch[i] == sig_i).all(), i
+        assert sh_batch[i] == H.simhash_signature(r), i
+        assert (bh_batch[i] == H.band_hashes(sig_i, 64, 2)).all(), i
+
+
+def test_batch_kernels_all_empty():
+    starts, ends = H.segment_offsets(np.zeros(3, dtype=np.int64))
+    a, b = H.minhash_params(8, 42)
+    empty = np.empty(0, dtype=H.U64)
+    assert (H.minhash_batch(empty, starts, ends, a, b) == -1).all()
+    assert (H.simhash_batch(empty, starts, ends) == 0).all()
+
+
 def test_hash_bytes_deterministic():
     assert H.hash_bytes(b"hello") == H.hash_bytes(b"hello")
     assert H.hash_bytes(b"hello") != H.hash_bytes(b"hellp")
