@@ -213,6 +213,49 @@ def _q_informative(spark, sf_dir):
     return _shingle_df(spark, sf_dir).filter(F.col("df").between(2, 4))
 
 
+def _q_conv_shingle_stats(spark, sf_dir):
+    """Per-conversation duplicated/non-duplicated shingle totals + the
+    reference's epsilon-guarded ratio (A5 split + X3 epsilon,
+    reference dedup.py:183-186,418-422)."""
+    j = _conv_shingles(spark, sf_dir).join(_shingle_df(spark, sf_dir), "shingle")
+    agg = j.groupBy("conv_id").agg(
+        F.sum(F.when(F.col("df").between(2, 4), 1).otherwise(0)).alias(
+            "n_dup_shingles"
+        ),
+        F.sum(F.when(F.col("df") == 1, 1).otherwise(0)).alias(
+            "n_non_dup_shingles"
+        ),
+    )
+    return agg.select(
+        "conv_id",
+        "n_dup_shingles",
+        "n_non_dup_shingles",
+        F.round(
+            F.col("n_dup_shingles")
+            / (F.col("n_dup_shingles") + F.col("n_non_dup_shingles") + F.lit(1e-6)),
+            6,
+        ).alias("dup_fraction"),
+    )
+
+
+CONV_STATS_SQL = (
+    "WITH "
+    + SHINGLES_SQL
+    + """,
+per_conv AS (
+  SELECT c.conv_id,
+         sum(CASE WHEN d.df BETWEEN 2 AND 4 THEN 1 ELSE 0 END) AS n_dup_shingles,
+         sum(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) AS n_non_dup_shingles
+  FROM conv_shingles c JOIN shingle_df d USING (shingle)
+  GROUP BY c.conv_id
+)
+SELECT conv_id, n_dup_shingles, n_non_dup_shingles,
+       round(n_dup_shingles / (n_dup_shingles + n_non_dup_shingles + 1e-6), 6)
+         AS dup_fraction
+FROM per_conv"""
+)
+
+
 def _q_exact_dedup(spark, sf_dir):
     docs = _read(spark, sf_dir, "documents")
     return (
@@ -522,20 +565,51 @@ def _q_substring_spans(spark, sf_dir):
     return _sub_spans_df(spark, sf_dir)
 
 
+def _scored_spans_df(spark, sf_dir):
+    """Chained spans scored by dnd density (operators/scoring.py): the
+    reference's length-weighted duplicated-kmer density + match bonus
+    with coverage and positive-score predicates
+    (alignment.py:256-282). Position classes come from JVM k=17 windows
+    so the DuckDB oracle can mirror them as string grams."""
+    from dedup_spark.operators import scoring, substring
+
+    cfg = _sub_cfg()
+    t = _doc_transcripts(spark, sf_dir)
+    keys = substring.suffix_keys(t, cfg)
+    spans = substring.chain_anchors(
+        substring.anchor_matches(keys, cfg, convs=t), cfg
+    )
+    wkeys = scoring.jvm_window_keys(t, K)
+    poscls = scoring.position_classes(wkeys, scoring.window_df(wkeys), 2, 4)
+    return scoring.score_spans(spans, poscls, cfg)
+
+
+def _q_span_scores(spark, sf_dir):
+    s = _scored_spans_df(spark, sf_dir)
+    return s.select(
+        "conv_a", "conv_b",
+        *[F.col(c).cast("long").alias(c)
+          for c in ("a_start", "a_end", "b_start", "b_end", "matched")],
+        F.round("dnd_a", 4).alias("dnd_a"),
+        F.round("dnd_b", 4).alias("dnd_b"),
+        F.round("score", 4).alias("score"),
+    )
+
+
 def _q_substring_best(spark, sf_dir):
     from dedup_spark.operators import substring
 
-    return substring.best_substring_match(
-        _sub_spans_df(spark, sf_dir).withColumn("score", F.col("matched"))
-    ).drop("score")
+    return substring.best_substring_match(_scored_spans_df(spark, sf_dir)).select(
+        "conv_a", "conv_b",
+        *[F.col(c).cast("long").alias(c)
+          for c in ("a_start", "a_end", "b_start", "b_end", "n_anchors", "matched")],
+    )
 
 
 def _q_interval_marks(spark, sf_dir):
     from dedup_spark.operators import intervals, substring
 
-    best = substring.best_substring_match(
-        _sub_spans_df(spark, sf_dir).withColumn("score", F.col("matched"))
-    )
+    best = substring.best_substring_match(_scored_spans_df(spark, sf_dir))
     marks = intervals.decide_intervals(best, _doc_transcripts(spark, sf_dir), _sub_cfg())
     return marks.select(
         F.col("conv_id").alias("doc_id"),
@@ -592,15 +666,103 @@ spans AS (
 """
 )
 
+# scored spans: the dnd-density scoring chain mirrored in SQL. Window
+# classification uses k=17 string grams (the Spark side hashes the same
+# windows with xxhash64 — hash equality ⇔ string equality). Float
+# parity notes: every double literal is ::double (a bare 0.2 is DECIMAL
+# in DuckDB and would change the arithmetic), and the expression trees
+# mirror the Spark side exactly so IEEE results are bit-identical.
+_SPANSK_SQL = (
+    _ANCHORS_SQL
+    + f""",
+flagged AS (
+  SELECT *, CASE WHEN lag(a_pos) OVER w IS NULL
+                   OR a_pos - lag(a_pos) OVER w > {_SUB_GAP}
+                   OR b_pos <= lag(b_pos) OVER w
+                   OR b_pos - lag(b_pos) OVER w > {_SUB_GAP}
+            THEN 1 ELSE 0 END AS new_chain
+  FROM anchors
+  WINDOW w AS (PARTITION BY conv_a, conv_b ORDER BY a_pos, b_pos)
+),
+chains AS (
+  SELECT *, sum(new_chain) OVER (PARTITION BY conv_a, conv_b ORDER BY a_pos, b_pos
+                                 ROWS UNBOUNDED PRECEDING) AS chain_id
+  FROM flagged
+),
+spans_k AS (
+  SELECT conv_a, conv_b, chain_id,
+         min(a_pos) AS a_start, max(a_pos) + {_SUB_W - 1} AS a_end,
+         min(b_pos) AS b_start, max(b_pos) + {_SUB_W - 1} AS b_end,
+         count(*) AS n_anchors,
+         least(max(a_pos) + {_SUB_W - 1} - min(a_pos) + 1,
+               (count(*) - 1) + {_SUB_W}) AS matched
+  FROM chains GROUP BY conv_a, conv_b, chain_id
+  HAVING least(max(a_pos) + {_SUB_W - 1} - min(a_pos) + 1,
+               (count(*) - 1) + {_SUB_W}) >= {_SUB_MIN}
+)
+"""
+)
+
+_SCORED_SQL = (
+    _SPANSK_SQL
+    + f""",
+grams17 AS (
+  SELECT doc_id AS conv_id, u.i AS pos, substr(text, cast(u.i AS int), {K}) AS g
+  FROM documents, unnest(range(1, len(text) - {K} + 2)) AS u(i)
+  WHERE len(text) >= {K}
+),
+gdf AS (SELECT g, count(DISTINCT conv_id) AS df FROM grams17 GROUP BY g),
+poscls AS (
+  SELECT conv_id, pos,
+         CASE WHEN df BETWEEN 2 AND 4 THEN 1 WHEN df = 1 THEN -1 END AS cls
+  FROM grams17 JOIN gdf USING (g)
+  WHERE df BETWEEN 2 AND 4 OR df = 1
+),
+astats AS (
+  SELECT s.conv_a, s.conv_b, s.chain_id,
+         sum(p.cls) AS dnd_sum_a, count(*) AS dnd_n_a
+  FROM spans_k s JOIN poscls p
+    ON p.conv_id = s.conv_a AND p.pos BETWEEN s.a_start AND s.a_end
+  GROUP BY s.conv_a, s.conv_b, s.chain_id
+),
+bstats AS (
+  SELECT s.conv_a, s.conv_b, s.chain_id,
+         sum(p.cls) AS dnd_sum_b, count(*) AS dnd_n_b
+  FROM spans_k s JOIN poscls p
+    ON p.conv_id = s.conv_b AND p.pos BETWEEN s.b_start AND s.b_end
+  GROUP BY s.conv_a, s.conv_b, s.chain_id
+),
+densities AS (
+  SELECT s.*,
+    CASE WHEN a.dnd_n_a IS NOT NULL AND a.dnd_n_a > 0
+         THEN (s.a_end - s.a_start + 1) * (a.dnd_sum_a::double / a.dnd_n_a)
+         ELSE 0.0::double END AS dnd_a,
+    CASE WHEN b.dnd_n_b IS NOT NULL AND b.dnd_n_b > 0
+         THEN (s.b_end - s.b_start + 1) * (b.dnd_sum_b::double / b.dnd_n_b)
+         ELSE 0.0::double END AS dnd_b
+  FROM spans_k s
+  LEFT JOIN astats a ON s.conv_a = a.conv_a AND s.conv_b = a.conv_b AND s.chain_id = a.chain_id
+  LEFT JOIN bstats b ON s.conv_a = b.conv_a AND s.conv_b = b.conv_b AND s.chain_id = b.chain_id
+),
+scored AS (
+  SELECT *, (dnd_a + dnd_b) + 0.2::double * matched AS score
+  FROM densities
+  WHERE dnd_a >= 0.2::double * (a_end - a_start + 1)
+    AND dnd_b >= 0.2::double * (b_end - b_start + 1)
+    AND (dnd_a + dnd_b) + 0.2::double * matched > 0
+)
+"""
+)
+
 _BEST_SQL = (
-    _SPANS_SQL
+    _SCORED_SQL
     + """,
 best AS (
   SELECT conv_a, conv_b, a_start, a_end, b_start, b_end, n_anchors, matched
   FROM (
     SELECT *, row_number() OVER (PARTITION BY conv_a, conv_b
-                ORDER BY matched DESC, a_start ASC, b_start ASC) AS rn
-    FROM spans
+                ORDER BY score DESC, a_start ASC, b_start ASC) AS rn
+    FROM scored
   ) WHERE rn = 1
 )
 """
@@ -610,7 +772,7 @@ _MARKS_SQL = (
     _BEST_SQL
     + f""",
 doclen AS (SELECT doc_id, len(text) AS dl FROM documents),
-scored AS (
+with_len AS (
   SELECT b.*, la.dl AS len_a, lb.dl AS len_b,
          (a_end - a_start + 1)::double / la.dl AS pct_a,
          (b_end - b_start + 1)::double / lb.dl AS pct_b
@@ -667,7 +829,7 @@ marks AS (
       CASE WHEN pct_b > 0.9 THEN len_b
            WHEN b_start <= {_SUB_GAP} THEN b_end
            ELSE len_b END AS mb_end
-    FROM scored
+    FROM with_len
   )
 )
 """
@@ -806,6 +968,7 @@ QUERIES: dict[str, QuerySpec] = {
         _q_informative,
         f"WITH {SHINGLES_SQL} SELECT shingle, df FROM shingle_df WHERE df BETWEEN 2 AND 4",
     ),
+    "conv_shingle_stats": QuerySpec(_q_conv_shingle_stats, CONV_STATS_SQL),
     "exact_dedup_docs": QuerySpec(
         _q_exact_dedup,
         "SELECT md5(text) AS text_hash, min(doc_id) AS rep_doc_id, count(*) AS n_copies "
@@ -934,6 +1097,12 @@ ORDER BY revenue DESC, l_orderkey ASC LIMIT 20""",
         _q_substring_spans,
         f"WITH {_SPANS_SQL} SELECT conv_a, conv_b, a_start, a_end, b_start, b_end, "
         "n_anchors, matched FROM spans",
+    ),
+    "span_scores": QuerySpec(
+        _q_span_scores,
+        f"WITH {_SCORED_SQL} SELECT conv_a, conv_b, a_start, a_end, b_start, "
+        "b_end, matched, round(dnd_a, 4) AS dnd_a, round(dnd_b, 4) AS dnd_b, "
+        "round(score, 4) AS score FROM scored",
     ),
     "substring_best_match": QuerySpec(
         _q_substring_best,

@@ -71,6 +71,24 @@ def char_shingles(text: str, k: int) -> np.ndarray:
     return np.sort(np.unique(splitmix64(h)).view(np.int64))
 
 
+def char_window_hashes(text: str, k: int) -> np.ndarray:
+    """ALL hashed k-char windows of ``text`` in position order
+    (non-distinct) → int64[]. Index i is the window starting at byte
+    offset i (0-based). Same hash family as :func:`char_shingles`, so
+    ``unique(char_window_hashes(t, k)) == char_shingles(t, k)``."""
+    b = np.frombuffer(text.encode("utf-8", "surrogatepass"), dtype=np.uint8)
+    n = b.shape[0]
+    if n < k:
+        return np.empty(0, dtype=np.int64)
+    if k not in _POW_CACHE:
+        _POW_CACHE[k] = _poly_powers(k)
+    pows = _POW_CACHE[k]
+    win = np.lib.stride_tricks.sliding_window_view(b, k).astype(U64)
+    with np.errstate(over="ignore"):
+        h = (win * pows[None, :]).sum(axis=1, dtype=U64)
+        return splitmix64(h).view(np.int64)
+
+
 def token_shingles(text: str, k: int) -> np.ndarray:
     """Distinct hashed k-token shingles (whitespace tokens) → sorted int64[]."""
     toks = text.split()

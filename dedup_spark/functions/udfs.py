@@ -31,6 +31,41 @@ def make_shingle_udf(cfg: DedupConfig):
     return shingle_udf
 
 
+def make_window_hash_udf(cfg: DedupConfig):
+    """text → array<long>: EVERY k-shingle hash in POSITION ORDER
+    (index i ⇔ 1-based start position i+1, non-distinct), in the same
+    polynomial hash space as :func:`make_shingle_udf` — so a
+    ``posexplode`` of the result joins directly against the pipeline's
+    shingle_df table.
+
+    This is the S4 analog (per-position k-mer retention, reference
+    kmer_utilities.py:53-87): where the reference maps dumped k-mers
+    back to contig positions with bwa, we simply never drop the
+    position. Positions are byte offsets of the utf-8 encoding — equal
+    to char offsets on ASCII corpora (the reference's input is ASCII
+    DNA; our synthetic corpora are ASCII)."""
+    k = cfg.shingle_k
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def window_hash_udf(texts: pd.Series) -> pd.Series:
+        return texts.map(
+            lambda t: hashing.char_window_hashes(t if t is not None else "", k)
+        )
+
+    return window_hash_udf
+
+
+def positional_shingles(transcripts, cfg: DedupConfig):
+    """transcripts → (conv_id, pos, shingle): exploded per-position
+    shingle hashes, 1-based positions, JVM-side explode."""
+    udf = make_window_hash_udf(cfg)
+    return (
+        transcripts.select("conv_id", udf(F.col("doc")).alias("h"))
+        .select("conv_id", F.posexplode("h").alias("p0", "shingle"))
+        .select("conv_id", (F.col("p0") + 1).alias("pos"), "shingle")
+    )
+
+
 _SIG_SCHEMA = T.StructType(
     [
         T.StructField("minhash", T.ArrayType(T.LongType())),

@@ -1,0 +1,176 @@
+"""Per-position duplication classes + dnd-density span scoring.
+
+Ports the reference's dnd (duplicated/non-duplicated) machinery to
+transcripts:
+
+* **Per-position classes** — the reference annotates every contig
+  position with duplicated / non-duplicated k-mer depth
+  (/root/reference/dedup/dedup.py:403-406, contig.py:193-199) and
+  derives ``dnd_ratio[pos] = dup_depth - non_dup_depth``, NaN where
+  neither maps (contig.py:53-69). The transcript analog: the k-shingle
+  STARTING at each position is classified by its corpus document
+  frequency — ``+1`` if df ∈ [lo, hi] (the informative/duplicated band,
+  kmer_utilities.py:37), ``-1`` if df == 1 (unique, the non-duplicated
+  band, kmer_utilities.py:38), and *no row* otherwise (boilerplate —
+  the NaN analog, skipped by ``nanmean``).
+
+* **Span scoring** — reference node scores (alignment.py:256-282):
+
+      density_x = span_len_x * nanmean(dnd[start:end])   (NaN → 0)
+      keep iff density_a >= min_coverage * span_len_a
+           and density_b >= min_coverage * span_len_b     (:266-270)
+      score = density_a + density_b + match_weight * matched  (:274-275)
+      keep iff score > 0                                  (:277-280)
+
+  Applied to chained spans (our nodes); ``best_substring_match`` then
+  takes the top-1 by this score instead of raw matched chars — a long
+  boilerplate span no longer outranks a shorter, genuinely informative
+  one.
+
+Scale notes: position classes are a ×doc_len explode — the same volume
+class as the suffix-key pass, and like it the pipeline restricts the
+position side to candidate conversations before exploding (corpus-wide
+df comes from the already-checkpointed shingle_df). The span⋈position
+join is an equi-join on the conv id followed by a range filter: spans
+per conversation are few (LSH-pruned pairs), so the fan-out is
+|positions| × spans_per_conv, not quadratic. All expressions JVM-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from dedup_spark.config import DedupConfig
+
+
+def jvm_window_keys(transcripts: DataFrame, k: int) -> DataFrame:
+    """transcripts → (conv_id, pos, key): xxhash64 of every k-char
+    window, 1-based positions. Same fused explode shape as
+    substring.suffix_keys (generator + projection in one codegen stage);
+    used where the oracle needs string-gram-equivalent hashing."""
+    return (
+        transcripts.filter(F.length("doc") >= k)
+        .select(
+            "conv_id",
+            "doc",
+            F.explode(F.sequence(F.lit(1), F.length("doc") - k + 1)).alias("pos"),
+        )
+        .select("conv_id", "pos", F.expr(f"xxhash64(substr(doc, pos, {k}))").alias("key"))
+    )
+
+
+def window_df(keys: DataFrame) -> DataFrame:
+    """(conv_id, pos, key) → (key, df): distinct-conversation document
+    frequency per window — hash-space-invariant, so it matches the
+    polynomial-kernel shingle_df on the same corpus."""
+    return (
+        keys.dropDuplicates(["conv_id", "key"])
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+
+
+def position_classes(
+    keys: DataFrame, df_table: DataFrame, lo: int, hi: int
+) -> DataFrame:
+    """(conv_id, pos, key) ⋈ (key, df) → (conv_id, pos, cls).
+
+    cls = +1 for df ∈ [lo, hi] (duplicated), -1 for df == 1
+    (non-duplicated); any other df emits no row (NaN analog,
+    contig.py:63-64). ``df_table`` must use the same key hash space as
+    ``keys`` (jvm_window_keys ↔ window_df, or the positional shingle UDF
+    ↔ the pipeline's shingle_df)."""
+    cls = (
+        F.when(F.col("__df").between(F.lit(lo), F.lit(hi)), F.lit(1))
+        .when(F.col("__df") == 1, F.lit(-1))
+    )
+    # distinct column names sidestep self-join attribute ambiguity
+    # (df_table is typically derived from keys, so keys["key"] ==
+    # df_table["key"] would resolve to a trivially-true predicate)
+    d = df_table.select(
+        F.col(df_table.columns[0]).alias("__k"),
+        F.col(df_table.columns[1]).alias("__df"),
+    )
+    return (
+        keys.join(d, F.col("key") == F.col("__k"))
+        .withColumn("cls", cls)
+        .filter(F.col("cls").isNotNull())
+        .select("conv_id", "pos", "cls")
+    )
+
+
+def score_spans(spans: DataFrame, poscls: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """Chained spans + position classes → dnd-scored spans.
+
+    Expects spans keyed by (conv_a, conv_b, chain_id) with
+    a_start/a_end/b_start/b_end/matched; returns the survivors of the
+    coverage + positive-score predicates with ``dnd_a``/``dnd_b``
+    density scores and the reference-weighted total ``score``
+    (alignment.py:256-282; F4/F5/A9 in SURVEY §2). Spans whose range
+    holds no classified positions score a density of 0 (the NaN→0
+    branch, alignment.py:259-264).
+
+    Positions counted per side are the k-shingle start positions lying
+    inside the span's 1-based inclusive interval — the analog of the
+    reference's [start:end) kmer-start slice in its 0-based coords."""
+    key = ["conv_a", "conv_b", "chain_id"]
+
+    def side_stats(side: str) -> DataFrame:
+        p = poscls.select(F.col("conv_id").alias(f"conv_{side}"), "pos", "cls")
+        return (
+            spans.select(*key, f"{side}_start", f"{side}_end")
+            .join(p.hint("shuffle_hash"), f"conv_{side}")
+            .filter(F.col("pos").between(F.col(f"{side}_start"), F.col(f"{side}_end")))
+            .groupBy(*key)
+            .agg(
+                F.sum("cls").alias(f"dnd_sum_{side}"),
+                F.count(F.lit(1)).alias(f"dnd_n_{side}"),
+            )
+        )
+
+    j = (
+        spans.join(side_stats("a"), key, "left")
+        .join(side_stats("b"), key, "left")
+    )
+    len_a = F.col("a_end") - F.col("a_start") + 1
+    len_b = F.col("b_end") - F.col("b_start") + 1
+
+    def density(side: str, length):
+        return F.when(
+            F.col(f"dnd_n_{side}").isNotNull() & (F.col(f"dnd_n_{side}") > 0),
+            length * (F.col(f"dnd_sum_{side}") / F.col(f"dnd_n_{side}")),
+        ).otherwise(F.lit(0.0))
+
+    scored = (
+        j.withColumn("dnd_a", density("a", len_a))
+        .withColumn("dnd_b", density("b", len_b))
+        # coverage predicate on BOTH sides (alignment.py:266-270, F4)
+        .filter(
+            (F.col("dnd_a") >= cfg.min_coverage * len_a)
+            & (F.col("dnd_b") >= cfg.min_coverage * len_b)
+        )
+        # length-weighted density + match bonus (alignment.py:274-275, A9)
+        .withColumn(
+            "score",
+            (F.col("dnd_a") + F.col("dnd_b"))
+            + F.lit(cfg.match_weight) * F.col("matched"),
+        )
+        # positive-score predicate (alignment.py:277-280, F5)
+        .filter(F.col("score") > 0)
+    )
+    return scored.select(
+        "conv_a", "conv_b", "chain_id",
+        "a_start", "a_end", "b_start", "b_end",
+        "n_anchors", "matched", "dnd_a", "dnd_b", "score",
+    )
+
+
+def conv_class_totals(poscls: DataFrame) -> DataFrame:
+    """(conv_id, n_dup_positions, n_non_dup_positions) — per-conversation
+    occurrence totals of duplicated / non-duplicated shingle positions
+    (analog of sum(homo_dup_depth) / sum(homo_non_dup_depth),
+    reference dedup.py:418-422, SURVEY A5)."""
+    return poscls.groupBy("conv_id").agg(
+        F.sum(F.when(F.col("cls") == 1, 1).otherwise(0)).alias("n_dup_positions"),
+        F.sum(F.when(F.col("cls") == -1, 1).otherwise(0)).alias("n_non_dup_positions"),
+    )

@@ -310,9 +310,14 @@ def chain_anchors(anchors: DataFrame, cfg: DedupConfig) -> DataFrame:
         )
         .withColumn("score", F.col("matched"))
     )
-    # positive-score / report-floor predicate (alignment.py:277-280, F5)
+    # report-floor predicate (min span length, F5's report floor); the
+    # reference's dnd-density scoring + coverage/positive-score
+    # predicates live in operators/scoring.score_spans, which replaces
+    # the raw-matched ``score`` column downstream when position classes
+    # are available. chain_id stays in the output as the span identity
+    # key for that join.
     return spans.filter(F.col("matched") >= cfg.min_span_len).select(
-        "conv_a", "conv_b", "a_start", "a_end", "b_start", "b_end",
+        "conv_a", "conv_b", "chain_id", "a_start", "a_end", "b_start", "b_end",
         "n_anchors", "matched", "score",
     )
 

@@ -34,7 +34,8 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from dedup_spark.catalog import StageCatalog
 from dedup_spark.config import DedupConfig
-from dedup_spark.operators import intervals, lsh, shingling, substring, verify
+from dedup_spark.functions.udfs import positional_shingles
+from dedup_spark.operators import intervals, lsh, scoring, shingling, substring, verify
 from dedup_spark.operators.connected_components import connected_components
 from dedup_spark.operators.transcripts import assemble_transcripts
 
@@ -103,7 +104,10 @@ class DedupPipeline:
         )
         deduped = cat.stage("deduped_turns", lambda: self._emit(turns, clusters))
         stats = cat.stage(
-            "stats", lambda: self._stats(transcripts, signatures, clusters)
+            "stats",
+            lambda: self._stats(
+                transcripts, signatures, clusters, exploded, shingle_df, cfg
+            ),
         )
 
         # --- suffix-array substring pass (minimap2 analog, SURVEY §7 step 4).
@@ -136,12 +140,32 @@ class DedupPipeline:
             "anchor_skew",
             lambda: substring.anchor_skew_report(substring.key_occurrence(skeys), cfg),
         )
+        # per-position duplication classes for the dnd span scoring:
+        # positions only for candidate conversations (the only ones with
+        # spans to score); document frequency stays CORPUS-WIDE via the
+        # already-checkpointed shingle_df — a window's duplication status
+        # depends on the whole corpus, not the candidate subset.
+        poscls = cat.stage(
+            "position_classes",
+            lambda: scoring.position_classes(
+                positional_shingles(cand_transcripts, cfg).withColumnRenamed(
+                    "shingle", "key"
+                ),
+                shingle_df.withColumnRenamed("shingle", "key"),
+                lo,
+                hi,
+            ),
+        )
         spans = cat.stage(
             "substring_spans",
-            lambda: substring.chain_anchors(
-                substring.anchor_matches(
-                    skeys, cfg, pairs=candidates, convs=cand_transcripts
+            lambda: scoring.score_spans(
+                substring.chain_anchors(
+                    substring.anchor_matches(
+                        skeys, cfg, pairs=candidates, convs=cand_transcripts
+                    ),
+                    cfg,
                 ),
+                poscls,
                 cfg,
             ),
         )
@@ -185,16 +209,67 @@ class DedupPipeline:
 
     @staticmethod
     def _stats(
-        transcripts: DataFrame, signatures: DataFrame, clusters: DataFrame
+        transcripts: DataFrame,
+        signatures: DataFrame,
+        clusters: DataFrame,
+        exploded: DataFrame,
+        shingle_df: DataFrame,
+        cfg: DedupConfig,
     ) -> DataFrame:
         """Per-conversation stats (analog of {prefix}_stats.csv +
-        deduplicated_stats.csv, reference dedup.py:418-422,178-187)."""
-        return (
+        deduplicated_stats.csv, reference dedup.py:418-422,177-187):
+
+        * ``n_dup_shingles`` / ``n_non_dup_shingles`` — the conv's
+          duplicated (df ∈ informative band) vs non-duplicated (df == 1)
+          shingle totals, the sum(homo_dup_depth)/sum(homo_non_dup_depth)
+          split (A5; set semantics — per-conv shingle sets are distinct).
+          ``n_shingles`` on signatures IS the dup count already (the
+          informative set), so only the df==1 side needs an extra agg.
+        * removal ratios with the reference's 1e-6 epsilon
+          (dedup.py:183-186, X3): under whole-conversation dedup a
+          non-representative conv removes ALL its shingles.
+        """
+        nondup = (
+            exploded.join(
+                shingle_df.filter(F.col("df") == 1).select("shingle"), "shingle"
+            )
+            .groupBy("conv_id")
+            .agg(F.count(F.lit(1)).alias("n_non_dup_shingles"))
+        )
+        e = F.lit(cfg.stats_epsilon)
+        base = (
             transcripts.select("conv_id", "n_turns", "doc_len")
             .join(signatures.select("conv_id", "n_shingles"), "conv_id", "left")
+            .join(nondup, "conv_id", "left")
             .join(clusters, "conv_id", "left")
-            .withColumn("n_shingles", F.coalesce("n_shingles", F.lit(0)))
+            .withColumn("n_dup_shingles", F.coalesce("n_shingles", F.lit(0)))
+            .withColumn(
+                "n_non_dup_shingles", F.coalesce("n_non_dup_shingles", F.lit(0))
+            )
             .withColumn(
                 "is_representative", F.col("conv_id") == F.col("cluster_id")
             )
+        )
+        removed_dup = F.when(
+            F.col("is_representative"), F.lit(0)
+        ).otherwise(F.col("n_dup_shingles"))
+        removed_non_dup = F.when(
+            F.col("is_representative"), F.lit(0)
+        ).otherwise(F.col("n_non_dup_shingles"))
+        return (
+            base.withColumn("removed_dup", removed_dup)
+            .withColumn("removed_non_dup", removed_non_dup)
+            # the three epsilon ratios, constants exact (dedup.py:183-186)
+            .withColumn(
+                "dup_removed_ratio", F.col("removed_dup") / (F.col("n_dup_shingles") + e)
+            )
+            .withColumn(
+                "non_dup_removed_ratio",
+                F.col("removed_non_dup") / (F.col("n_non_dup_shingles") + e),
+            )
+            .withColumn(
+                "dnd_removed_ratio",
+                F.col("removed_dup") / (F.col("removed_non_dup") + e),
+            )
+            .drop("n_shingles")
         )

@@ -105,6 +105,43 @@ def test_metrics_cover_all_stages(result):
     } <= stages
 
 
+def test_stats_dup_split_and_epsilon_ratios(result):
+    """Stats parity (reference dedup.py:183-186,418-422): dup/non-dup
+    totals and the three epsilon ratios, whole-conv removal semantics."""
+    res, _ = result
+    pdf = res.stats.toPandas()
+    for c in (
+        "n_dup_shingles", "n_non_dup_shingles", "removed_dup",
+        "removed_non_dup", "dup_removed_ratio", "non_dup_removed_ratio",
+        "dnd_removed_ratio",
+    ):
+        assert c in pdf.columns, c
+    e = 1e-6
+    reps = pdf[pdf.is_representative]
+    nonreps = pdf[~pdf.is_representative]
+    assert (reps.removed_dup == 0).all()
+    assert (nonreps.removed_dup == nonreps.n_dup_shingles).all()
+    row = nonreps.iloc[0]
+    assert row.dup_removed_ratio == pytest.approx(
+        row.removed_dup / (row.n_dup_shingles + e)
+    )
+    assert row.dnd_removed_ratio == pytest.approx(
+        row.removed_dup / (row.removed_non_dup + e)
+    )
+
+
+def test_scored_spans_have_dnd_columns(result):
+    """The substring spans stage carries the dnd-density scoring
+    columns (alignment.py:256-282 analog) and every surviving span
+    passed the coverage + positive-score predicates."""
+    res, _ = result
+    pdf = res.substring_spans.toPandas()
+    assert {"dnd_a", "dnd_b", "score"} <= set(pdf.columns)
+    assert (pdf.score > 0).all()
+    span_len_a = pdf.a_end - pdf.a_start + 1
+    assert (pdf.dnd_a >= 0.2 * span_len_a - 1e-9).all()
+
+
 def test_substring_spans_recover_planted_substrings(result, corpus):
     """The suffix-array pass finds the planted cross-conversation
     substring spans (substring_dup family: B embeds a contiguous run of
