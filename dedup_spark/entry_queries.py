@@ -131,22 +131,72 @@ def _doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _verified_token_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact token-set containment verify between same-(lang,source)
-    blocked doc pairs — the U1/F6/X3 verify semantics (reference
-    dedup.py:362-369, +1 denominators) expressed relationally."""
+    """Exact token-set containment verify (U1/F6/X3, reference
+    dedup.py:362-369 +1 denominators) over LSH-PRUNED candidates — no
+    quadratic stage. The DuckDB oracle mirrors the semantics with a
+    blocked self-join (fine at oracle sf); the Spark plan must scale, so
+    candidates come from conservative token-MinHash banding:
+
+    * r=1, b=128 banding over hashed token sets: a pair is a candidate
+      iff ANY of its 128 minhash values collide. Any pair that can pass
+      the containment>0.2 verify has token-Jaccard J ≳ 0.1, and the
+      banding miss probability at J is (1-J)^128 ≤ 1.4e-6 — recall-first
+      candidate generation exactly like the reference's 20×-loose LSH
+      threshold (dedup.py:333). Equality with the exhaustive oracle is
+      asserted at sf0.01/sf0.1 in tests.
+    * the (lang, source) verify block is folded INTO the band key, so
+      boilerplate-token buckets split 25× before the self-join.
+    * exact verification then recomputes common/jaccard/containment on
+      the true token arrays with the identical expressions and rounding
+      as the oracle SQL.
+    """
+    from dedup_spark.config import DedupConfig
+    from dedup_spark.functions.udfs import make_signature_udf
+
+    cfg = DedupConfig(
+        num_perm=128, bands=128, rows_per_band=1, shingle_unit="token", shingle_k=1
+    )
+    docs = _read(spark, sf_dir, "documents")
+    # token hashing stays JVM-side (xxhash64 inside transform); only the
+    # minhash/banding kernel crosses the Arrow boundary
+    hs = F.array_distinct(F.transform(F.split("text", " "), lambda t: F.xxhash64(t)))
+    sig = make_signature_udf(cfg)
+    sigs = (
+        docs.select("doc_id", "lang", "source", hs.alias("hs"))
+        .filter(F.size("hs") > 0)
+        .withColumn("bands", sig(F.col("hs")).getField("bands"))
+        .select(
+            "doc_id", "lang", "source",
+            F.posexplode("bands").alias("band_id", "band_hash"),
+        )
+        # one fused long join key (block attrs + band id + band hash):
+        # a single int64 column shuffles/joins far faster than a 4-col
+        # composite with strings; hash collisions can only ADD candidate
+        # pairs, which exact verification removes
+        .select(
+            "doc_id",
+            F.xxhash64("lang", "source", "band_id", "band_hash").alias("bkey"),
+        )
+    )
+    cand = (
+        sigs.select("bkey", F.col("doc_id").alias("doc_a"))
+        .join(sigs.select("bkey", F.col("doc_id").alias("doc_b")), "bkey")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
     d = _doc_tokens(spark, sf_dir)
-    a = d.select(
-        F.col("doc_id").alias("doc_a"), "lang", "source",
-        F.col("toks").alias("toks_a"), F.col("n_toks").alias("n_a"),
-    )
-    b = d.select(
-        F.col("doc_id").alias("doc_b"), "lang", "source",
-        F.col("toks").alias("toks_b"), F.col("n_toks").alias("n_b"),
-    )
-    j = a.join(b, ["lang", "source"]).filter(F.col("doc_a") < F.col("doc_b"))
-    j = j.withColumn("common", F.size(F.array_intersect("toks_a", "toks_b")))
+    # pairs are same-block by construction, so the a-side attrs name the
+    # block (no extra corpus-sized join needed)
+    ta = d.select(F.col("doc_id").alias("doc_a"), "lang", "source",
+                  F.col("toks").alias("toks_a"), F.col("n_toks").alias("n_a"))
+    tb = d.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"),
+                  F.col("n_toks").alias("n_b"))
     j = (
-        j.withColumn("containment_a", F.round(F.col("common") / (F.col("n_a") + 1), 6))
+        cand.join(ta.hint("shuffle_hash"), "doc_a")
+        .join(tb.hint("shuffle_hash"), "doc_b")
+        .withColumn("common", F.size(F.array_intersect("toks_a", "toks_b")))
+        .withColumn("containment_a", F.round(F.col("common") / (F.col("n_a") + 1), 6))
         .withColumn("containment_b", F.round(F.col("common") / (F.col("n_b") + 1), 6))
         .withColumn(
             "jaccard",
@@ -846,7 +896,12 @@ def _q_ann_lsh_topk(spark, sf_dir):
 
     emb = _read(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    return ann.ann_topk(emb, queries, k=3, n_planes=10, dim=64, n_probes=6)
+    # scale path: plane count derived from corpus size (bucket population
+    # ≈ target), two independent hash tables for recall
+    return ann.ann_topk(
+        emb, queries, k=3, n_planes=None, dim=64, n_probes=6,
+        n_tables=2, target_bucket=200,
+    )
 
 
 def _q_multimodal_features(spark, sf_dir):
@@ -873,6 +928,24 @@ def _q_frame_samples(spark, sf_dir):
     return multimodal.sample_frames(assets, every_ms=1000).select(
         "asset_id", "kind", F.col("offset_ms").cast("long").alias("offset_ms")
     )
+
+
+# exact mirror of fake_decode's lane arithmetic: lane j value =
+# (Σ bytes at positions ≡ j (mod 64) mod 256)/256 — every value an exact
+# float, and the audio roll permutes lanes without changing the sum
+FEATURES_SQL = """
+WITH bytes AS (
+  SELECT doc_id, (u.i - 1) % 64 AS lane,
+         ord(substr(text, cast(u.i AS int), 1)) AS b
+  FROM documents, unnest(range(1, len(text) + 1)) AS u(i)
+),
+lanes AS (SELECT doc_id, lane, sum(b) AS s FROM bytes GROUP BY doc_id, lane),
+sums AS (SELECT doc_id, sum((s % 256)::double / 256) AS fs FROM lanes GROUP BY doc_id)
+SELECT d.doc_id AS asset_id,
+       CASE WHEN d.doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+       64 AS dim, round(coalesce(s.fs, 0.0::double), 4) AS feature_sum
+FROM documents d LEFT JOIN sums s USING (doc_id)
+"""
 
 
 FRAME_SAMPLES_SQL = """
@@ -1115,7 +1188,7 @@ ORDER BY revenue DESC, l_orderkey ASC LIMIT 20""",
         "WHERE doc_id IS NOT NULL",
     ),
     "ann_lsh_topk": QuerySpec(_q_ann_lsh_topk, None),
-    "multimodal_features": QuerySpec(_q_multimodal_features, None),
+    "multimodal_features": QuerySpec(_q_multimodal_features, FEATURES_SQL),
     "frame_samples": QuerySpec(_q_frame_samples, FRAME_SAMPLES_SQL),
     "asset_resize_plan": QuerySpec(_q_resize_plan, RESIZE_SQL),
 }

@@ -90,15 +90,17 @@ def char_window_hashes(text: str, k: int) -> np.ndarray:
 
 
 def token_shingles(text: str, k: int) -> np.ndarray:
-    """Distinct hashed k-token shingles (whitespace tokens) → sorted int64[]."""
+    """Distinct hashed k-token shingles (whitespace tokens) → sorted int64[].
+
+    Token hashing is one vectorized ``pd.util.hash_array`` call (C
+    implementation, deterministic fixed key) — a per-token Python
+    hash_bytes loop here measured ~20ms for a 500-token document."""
     toks = text.split()
     if len(toks) < k:
         return np.empty(0, dtype=np.int64)
-    th = np.fromiter(
-        (hash_bytes(t.encode("utf-8", "surrogatepass")) for t in toks),
-        dtype=U64,
-        count=len(toks),
-    )
+    import pandas as pd
+
+    th = pd.util.hash_array(np.asarray(toks, dtype=object)).astype(U64)
     win = np.lib.stride_tricks.sliding_window_view(th, k)
     if k not in _POW_CACHE:
         _POW_CACHE[k] = _poly_powers(k)

@@ -32,24 +32,46 @@ def _planes(n_planes: int, dim: int, seed: int) -> np.ndarray:
     return rng.standard_normal((n_planes, dim)).astype(np.float64)
 
 
-def make_bucket_udf(n_planes: int, dim: int, seed: int):
-    """array<float> embedding → long bucket id (sign-bit signature).
+def planes_for(n_vectors: int, target_bucket: int = 200) -> int:
+    """Corpus-sized plane count: expected bucket population stays near
+    ``target_bucket`` (2^planes buckets over n vectors). A FIXED plane
+    count collapses at scale — e.g. 10 planes = 1024 buckets, so any
+    corpus ≥ ~10M vectors pushes every bucket over the population cap
+    and, since over-cap buckets are excluded, recall drops to zero.
+    Clamped to [8, 40] (int64 bucket ids hold up to 62 bits)."""
+    import math
+
+    need = math.ceil(math.log2(max(n_vectors, 2) / max(target_bucket, 1)))
+    return int(min(40, max(8, need)))
+
+
+def make_bucket_udf(n_planes: int, dim: int, seed: int, n_tables: int = 1):
+    """array<float> embedding → array<long> of per-table bucket ids
+    (sign-bit signatures; one independent hyperplane set per table).
 
     int64 buckets: n_planes up to 62 without sign-bit aliasing (bit 62 is
     the top usable bit; multiprobe XORs stay positive). An int32 bucket
-    would silently wrap at n_planes >= 32, aliasing distinct signatures."""
+    would silently wrap at n_planes >= 32, aliasing distinct signatures.
+    Table 0's planes are identical to the historical single-table set
+    (seed-stable), so n_tables=1 reproduces prior buckets exactly."""
     if not 1 <= n_planes <= 62:
         raise ValueError(f"n_planes must be in [1, 62], got {n_planes}")
-    planes = _planes(n_planes, dim, seed)
+    if n_tables < 1:
+        raise ValueError(f"n_tables must be >= 1, got {n_tables}")
+    planes = np.stack(
+        [_planes(n_planes, dim, seed + 7919 * t) for t in range(n_tables)]
+    )  # (T, P, D)
+    weights = np.int64(1) << np.arange(n_planes, dtype=np.int64)
 
-    @F.pandas_udf(T.LongType())
+    @F.pandas_udf(T.ArrayType(T.LongType()))
     def bucket_udf(embs: pd.Series) -> pd.Series:
         if len(embs) == 0:
-            return pd.Series([], dtype="int64")
+            return pd.Series([], dtype="object")
         m = np.stack([np.asarray(e, dtype=np.float64) for e in embs])
-        bits = (m @ planes.T) > 0  # (n, n_planes)
-        weights = (np.int64(1) << np.arange(n_planes, dtype=np.int64))
-        return pd.Series((bits @ weights).astype(np.int64))
+        out = np.empty((m.shape[0], planes.shape[0]), dtype=np.int64)
+        for t in range(planes.shape[0]):
+            out[:, t] = ((m @ planes[t].T) > 0) @ weights
+        return pd.Series(list(out))
 
     return bucket_udf
 
@@ -61,14 +83,18 @@ def bucket_ids(
     dim: int = 64,
     seed: int = 42,
     n_probes: int = 1,
+    n_tables: int = 1,
 ) -> DataFrame:
-    """(id, embedding) → one row per (id, bucket) probe.
+    """(id, embedding) → one row per (id, table, bucket) probe.
 
     probe 0 is the vector's own bucket; probes 1..n_probes-1 flip one
-    sign bit each (nearest Hamming neighbours), which is the standard
-    recall/multiprobe trade."""
-    udf = make_bucket_udf(n_planes, dim, seed)
-    b = emb.withColumn("bucket0", udf(F.col(vec_col)))
+    sign bit each (nearest Hamming neighbours), the standard
+    recall/multiprobe trade. Independent tables multiply recall the
+    orthogonal way: P(candidate) = 1 − Π_t P(miss table t)."""
+    udf = make_bucket_udf(n_planes, dim, seed, n_tables)
+    b = emb.withColumn("tb", udf(F.col(vec_col))).select(
+        "*", F.posexplode("tb").alias("table", "bucket0")
+    ).drop("tb")
     probes = [F.col("bucket0")] + [
         F.col("bucket0").bitwiseXOR(F.lit(1 << i)) for i in range(n_probes - 1)
     ]
@@ -85,35 +111,50 @@ def ann_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 3,
-    n_planes: int = 12,
+    n_planes: int | None = 12,
     dim: int = 64,
     seed: int = 42,
     n_probes: int = 4,
     max_bucket: int = 10_000,
+    n_tables: int = 1,
+    target_bucket: int = 200,
+    n_vectors: int | None = None,
 ) -> DataFrame:
     """LSH-bucketed cosine top-k: queries multiprobe, corpus indexed once.
 
     Returns (query_id, neighbor_id, sim, rank). Buckets larger than
     ``max_bucket`` are excluded from scoring (skew guard — report them
     with :func:`bucket_skew_report` rather than letting one degenerate
-    bucket go quadratic)."""
+    bucket go quadratic).
+
+    Scale path: pass ``n_planes=None`` to derive the plane count from
+    the corpus size (:func:`planes_for` — expected bucket population ≈
+    ``target_bucket``; one count() job unless ``n_vectors`` is given),
+    and ``n_tables > 1`` for L independent hash tables — the recall
+    knob that does NOT grow bucket population the way extra probes do."""
+    if n_planes is None:
+        n = n_vectors if n_vectors is not None else emb.count()
+        n_planes = planes_for(n, target_bucket)
     cast = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     corpus = emb.select(F.col(id_col).alias("neighbor_id"), cast.alias("cv"))
     corpus_b = bucket_ids(
-        corpus, "cv", n_planes, dim, seed, n_probes=1
-    ).select("neighbor_id", "cv", "bucket")
-    sizes = corpus_b.groupBy("bucket").agg(F.count(F.lit(1)).alias("bucket_size"))
+        corpus, "cv", n_planes, dim, seed, n_probes=1, n_tables=n_tables
+    ).select("neighbor_id", "cv", "table", "bucket")
+    sizes = corpus_b.groupBy("table", "bucket").agg(
+        F.count(F.lit(1)).alias("bucket_size")
+    )
     corpus_b = corpus_b.join(
-        sizes.filter(F.col("bucket_size") <= max_bucket).select("bucket"), "bucket"
+        sizes.filter(F.col("bucket_size") <= max_bucket).select("table", "bucket"),
+        ["table", "bucket"],
     )
 
     q = queries.select(F.col(id_col).alias("query_id"), cast.alias("qv"))
-    q_b = bucket_ids(q, "qv", n_planes, dim, seed, n_probes=n_probes).select(
-        "query_id", "qv", "bucket"
-    )
+    q_b = bucket_ids(
+        q, "qv", n_planes, dim, seed, n_probes=n_probes, n_tables=n_tables
+    ).select("query_id", "qv", "table", "bucket")
 
     j = (
-        q_b.join(corpus_b, "bucket")
+        q_b.join(corpus_b, ["table", "bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .dropDuplicates(["query_id", "neighbor_id"])
     )
@@ -138,12 +179,15 @@ def bucket_skew_report(
     dim: int = 64,
     seed: int = 42,
     max_bucket: int = 10_000,
+    n_tables: int = 1,
 ) -> DataFrame:
     """Buckets over the population cap — logged, never silently dropped."""
     cast = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    b = bucket_ids(emb.select(cast.alias("cv")), "cv", n_planes, dim, seed, 1)
+    b = bucket_ids(
+        emb.select(cast.alias("cv")), "cv", n_planes, dim, seed, 1, n_tables
+    )
     return (
-        b.groupBy("bucket")
+        b.groupBy("table", "bucket")
         .agg(F.count(F.lit(1)).alias("bucket_size"))
         .filter(F.col("bucket_size") > max_bucket)
     )

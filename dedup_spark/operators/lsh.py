@@ -13,13 +13,20 @@ order:
 
 1. the informative-DF upper cutoff upstream removes boilerplate
    shingles before they reach signatures (primary defence);
-2. buckets larger than ``cfg.max_band_bucket`` are excluded from the
-   self-join and REPORTED (skew_report stage) — never silently;
-3. AQE skew-join splitting handles residual imbalance at runtime.
+2. buckets in (``max_band_bucket``, ``max_salted_bucket``] are
+   GRID-SALTED: every pair is still produced, but the m² work is spread
+   across g = ⌈m/cap⌉ salt slots so no single task owns a hot bucket
+   (one side keeps its hash-salt, the other replicates to all g slots —
+   each unordered pair meets in exactly one slot per band);
+3. buckets beyond ``max_salted_bucket`` are degenerate boilerplate
+   (≥5·10^7 pairs from one bucket); they are excluded and REPORTED
+   (skew_report stage) — never silently;
+4. AQE skew-join splitting handles residual imbalance at runtime.
 
-The band self-join is an equi-join on (band_id, band_hash): Catalyst
-plans a shuffle hash/sort-merge join partitioned by the band key, so
-pair generation is fully distributed and never collects to the driver.
+The band self-join is an equi-join on (band_id, band_hash[, salt]):
+Catalyst plans a shuffle hash/sort-merge join partitioned by the band
+key, so pair generation is fully distributed and never collects to the
+driver.
 """
 
 from __future__ import annotations
@@ -61,25 +68,70 @@ def band_bucket_sizes(bands: DataFrame) -> DataFrame:
 
 
 def skew_report(bucket_sizes: DataFrame, cfg: DedupConfig) -> DataFrame:
-    """Buckets exceeding the cap — logged, never silently dropped."""
-    return bucket_sizes.filter(F.col("bucket_size") > cfg.max_band_bucket)
+    """Buckets DROPPED from pairing (beyond the salted tier) — logged,
+    never silent. Buckets in the salted tier are fully processed and
+    surface via :func:`salted_report` instead."""
+    return bucket_sizes.filter(F.col("bucket_size") > cfg.max_salted_bucket)
+
+
+def salted_report(bucket_sizes: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """Buckets handled by the grid-salted tier (observability)."""
+    return bucket_sizes.filter(
+        (F.col("bucket_size") > cfg.max_band_bucket)
+        & (F.col("bucket_size") <= cfg.max_salted_bucket)
+    )
 
 
 def candidate_pairs(
     bands: DataFrame, bucket_sizes: DataFrame, cfg: DedupConfig
 ) -> DataFrame:
-    """Band self-join within capped buckets → canonical (conv_a < conv_b)
-    distinct pairs (ordering analog of reference dedup.py:373-378,
-    contig.py:201-202)."""
+    """Band self-join → canonical (conv_a < conv_b) distinct pairs
+    (ordering analog of reference dedup.py:373-378, contig.py:201-202),
+    three-tier by bucket size:
+
+    * ≤ max_band_bucket — plain self-join on the band key;
+    * ≤ max_salted_bucket — grid-salted: the left side keeps one salt
+      slot ``pmod(xxhash64(conv_id), g)`` with g = ⌈size/cap⌉, the right
+      side replicates into every slot, and the join key gains the salt —
+      each unordered pair meets in exactly one slot (the canonical
+      filter keeps the a<b orientation), so NO pair is lost while each
+      task handles ~size·cap pairs instead of size²;
+    * larger — dropped + reported (see skew_report).
+    """
+    cap = cfg.max_band_bucket
     ok_buckets = bucket_sizes.filter(
-        (F.col("bucket_size") > 1) & (F.col("bucket_size") <= cfg.max_band_bucket)
+        (F.col("bucket_size") > 1) & (F.col("bucket_size") <= cap)
     ).select("band_id", "band_hash")
     b = bands.join(ok_buckets, ["band_id", "band_hash"])
     left = b.select("band_id", "band_hash", F.col("conv_id").alias("conv_a"))
     right = b.select("band_id", "band_hash", F.col("conv_id").alias("conv_b"))
-    return (
+    normal = (
         left.join(right, ["band_id", "band_hash"])
         .filter(F.col("conv_a") < F.col("conv_b"))  # self-match removal + canon
         .select("conv_a", "conv_b")
-        .dropDuplicates(["conv_a", "conv_b"])
     )
+
+    hot = bucket_sizes.filter(
+        (F.col("bucket_size") > cap) & (F.col("bucket_size") <= cfg.max_salted_bucket)
+    ).select(
+        "band_id",
+        "band_hash",
+        F.ceil(F.col("bucket_size") / cap).cast("int").alias("g"),
+    )
+    hb = bands.join(hot, ["band_id", "band_hash"])
+    salt_l = F.pmod(F.xxhash64(F.col("conv_id").cast("string")), F.col("g")).cast("int")
+    sleft = hb.select(
+        "band_id", "band_hash", salt_l.alias("salt"), F.col("conv_id").alias("conv_a")
+    )
+    sright = hb.select(
+        "band_id",
+        "band_hash",
+        F.explode(F.sequence(F.lit(0), F.col("g") - 1)).alias("salt"),
+        F.col("conv_id").alias("conv_b"),
+    )
+    salted = (
+        sleft.join(sright, ["band_id", "band_hash", "salt"])
+        .filter(F.col("conv_a") < F.col("conv_b"))
+        .select("conv_a", "conv_b")
+    )
+    return normal.union(salted).dropDuplicates(["conv_a", "conv_b"])

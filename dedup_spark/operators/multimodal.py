@@ -90,8 +90,14 @@ def decode_asset_batch(payloads: pd.Series, kinds: pd.Series) -> np.ndarray:
 
 def fake_decode(payloads: pd.Series, kinds: pd.Series) -> np.ndarray:
     """Deterministic decode stand-in with the real batch shape:
-    (n, FEATURE_DIM) float32 derived from payload bytes via a seeded
-    per-asset hash — stable across runs, partitions, and batch splits."""
+    (n, FEATURE_DIM) float32 derived from payload bytes — stable across
+    runs, partitions, and batch splits.
+
+    Lane value = (integer lane byte-sum mod 256) / 256: every value is
+    an exact float32 (k/256), so downstream aggregations are
+    bit-reproducible in any engine — which is what lets the driver's
+    DuckDB oracle mirror this "decode" exactly (list ops over text
+    bytes) instead of a rows-only check."""
     out = np.zeros((len(payloads), FEATURE_DIM), dtype=np.float32)
     for i, (blob, kind) in enumerate(zip(payloads, kinds)):
         b = np.frombuffer(bytes(blob or b""), dtype=np.uint8)
@@ -99,8 +105,9 @@ def fake_decode(payloads: pd.Series, kinds: pd.Series) -> np.ndarray:
             continue
         # fold bytes into FEATURE_DIM lanes (vectorized; no codecs)
         pad = (-b.size) % FEATURE_DIM
-        lanes = np.pad(b, (0, pad)).reshape(-1, FEATURE_DIM).astype(np.float32)
-        out[i] = lanes.mean(axis=0) / 255.0
+        lanes = np.pad(b, (0, pad)).reshape(-1, FEATURE_DIM)
+        sums = lanes.sum(axis=0, dtype=np.int64)
+        out[i] = (sums % 256).astype(np.float32) / 256.0
         if kind == "audio":
             out[i] = np.roll(out[i], 1)  # kind-distinct, still deterministic
     return out

@@ -44,18 +44,21 @@ from dedup_spark.config import DedupConfig
 
 
 def jvm_window_keys(transcripts: DataFrame, k: int) -> DataFrame:
-    """transcripts → (conv_id, pos, key): xxhash64 of every k-char
+    """transcripts → (conv_id, pos, key): xxhash64 of every k-byte
     window, 1-based positions. Same fused explode shape as
-    substring.suffix_keys (generator + projection in one codegen stage);
-    used where the oracle needs string-gram-equivalent hashing."""
+    substring.suffix_keys (generator + projection in one codegen stage),
+    and like it slices a BINARY copy — string substr is O(pos) char
+    scanning, O(doc_len²) per doc over all windows. Byte positions ==
+    char positions on ASCII corpora."""
     return (
         transcripts.filter(F.length("doc") >= k)
+        .select("conv_id", F.encode("doc", "UTF-8").alias("b"))
         .select(
             "conv_id",
-            "doc",
-            F.explode(F.sequence(F.lit(1), F.length("doc") - k + 1)).alias("pos"),
+            "b",
+            F.explode(F.sequence(F.lit(1), F.length("b") - k + 1)).alias("pos"),
         )
-        .select("conv_id", "pos", F.expr(f"xxhash64(substr(doc, pos, {k}))").alias("key"))
+        .select("conv_id", "pos", F.expr(f"xxhash64(substring(b, pos, {k}))").alias("key"))
     )
 
 

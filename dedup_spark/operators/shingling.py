@@ -58,20 +58,102 @@ def df_histogram(shingle_df: DataFrame) -> DataFrame:
     return shingle_df.groupBy("df").agg(F.count(F.lit(1)).alias("n_shingles"))
 
 
-def pick_df_band(hist_rows: list[tuple[int, int]], cfg: DedupConfig) -> tuple[int, int]:
-    """Auto-select the informative DF band from the histogram — the
-    driver-side analog of the bimodal-spectrum fit
-    (kmer_spectrum.py:146-227), adapted to Zipfian text corpora:
+class SpectrumFitError(RuntimeError):
+    """Raised when the bimodal spectrum fit cannot produce a credible
+    band — the analog of the reference's hard exit on a failed k-mer
+    spectrum fit (kmer_spectrum.py:184-187). Callers either let it
+    propagate (mode="fit") or fall back loudly (mode="fit_or_tail")."""
 
-    * lower bound: df_lo (≥2 — a shingle must appear in ≥2 convs to be a
-      duplication signal at all);
-    * upper bound: smallest df that already covers ``tail_mass`` of all
-      df≥df_lo shingles — everything above is boilerplate head.
-    Manual override via cfg.df_hi when auto_df_band is False (the analog
-    of --homozygous_lower/upper_bound, dedup.py:552-560).
+
+def fit_df_spectrum(
+    hist_rows: list[tuple[int, int]], cfg: DedupConfig
+) -> tuple[int, int]:
+    """Bimodal-Gaussian fit of the DF histogram → (lo, hi) band.
+
+    The driver-side analog of fit_kmer_spectrum
+    (kmer_spectrum.py:146-227), numpy-only (the sandbox has no scipy;
+    the global optimizer is replaced by a deterministic μ grid with the
+    amplitudes solved per candidate by linear least squares — the model
+    is linear in (A1, A2) once (μ, σ1, σ2) are fixed):
+
+        y(df) ≈ A1·N(df; μ, σ1) + A2·N(df; 2μ, σ2)       (μ2 = 2μ1,
+                                                  kmer_spectrum.py:105)
+
+    * domain clamps: df outside [spectrum_min_df, spectrum_max_df] is
+      dropped before fitting (kmer_spectrum.py:161-166, F3);
+    * band: lo = inter-peak minimum of the fitted curve
+      (kmer_spectrum.py:222), hi = ⌈2μ + 2σ2⌉ (:223);
+    * loud failure when the histogram is too small, the residual is too
+      large, either amplitude collapses, or no inter-peak valley exists
+      (a monotone Zipf histogram has no second mode — exactly the case
+      the reference refuses to guess on).
     """
-    if not cfg.auto_df_band:
-        return cfg.df_lo, cfg.df_hi
+    import numpy as np
+
+    rows = sorted(
+        (int(d), int(n))
+        for d, n in hist_rows
+        if cfg.spectrum_min_df <= int(d) <= cfg.spectrum_max_df
+    )
+    if len(rows) < 6:
+        raise SpectrumFitError(
+            f"DF histogram has {len(rows)} points in "
+            f"[{cfg.spectrum_min_df}, {cfg.spectrum_max_df}] — too few to fit"
+        )
+    x = np.array([d for d, _ in rows], dtype=np.float64)
+    y = np.array([n for _, n in rows], dtype=np.float64)
+
+    def model_cols(mu: float, s1: float, s2: float) -> np.ndarray:
+        g1 = np.exp(-0.5 * ((x - mu) / s1) ** 2)
+        g2 = np.exp(-0.5 * ((x - 2 * mu) / s2) ** 2)
+        return np.stack([g1, g2], axis=1)
+
+    best = None  # (sse, mu, s1, s2, A)
+    mus = np.linspace(x.min() + 0.5, x.max() / 2.0, 96)
+    for mu in mus:
+        for f1 in (0.15, 0.3, 0.5):
+            for f2 in (0.15, 0.3, 0.5):
+                s1 = max(0.5, f1 * mu)
+                s2 = max(0.5, f2 * 2 * mu)
+                M = model_cols(mu, s1, s2)
+                A, *_ = np.linalg.lstsq(M, y, rcond=None)
+                if A[0] <= 0 or A[1] <= 0:
+                    continue
+                sse = float(((y - M @ A) ** 2).sum())
+                if best is None or sse < best[0]:
+                    best = (sse, float(mu), s1, s2, A)
+    if best is None:
+        raise SpectrumFitError("no (μ, σ) candidate admits positive amplitudes")
+    sse, mu, s1, s2, A = best
+    ss_tot = float(((y - y.mean()) ** 2).sum()) or 1.0
+    if sse / ss_tot > 0.5:
+        raise SpectrumFitError(
+            f"bimodal fit explains too little variance (R²={1 - sse / ss_tot:.2f}) "
+            "— histogram is not bimodal; set df_lo/df_hi manually "
+            "(the --homozygous_*_bound analog, dedup.py:552-560)"
+        )
+    # inter-peak minimum of the fitted curve on the integer grid (μ, 2μ)
+    grid = np.arange(np.floor(mu), np.ceil(2 * mu) + 1)
+    if grid.size < 3:
+        raise SpectrumFitError(f"peaks too close to separate (μ={mu:.1f})")
+    g1 = A[0] * np.exp(-0.5 * ((grid - mu) / s1) ** 2)
+    g2 = A[1] * np.exp(-0.5 * ((grid - 2 * mu) / s2) ** 2)
+    curve = g1 + g2
+    valley = int(grid[int(np.argmin(curve))])
+    if valley <= grid[0] or valley >= grid[-1]:
+        raise SpectrumFitError(
+            f"no inter-peak valley between μ={mu:.1f} and 2μ — unimodal fit"
+        )
+    lo = max(cfg.spectrum_min_df, valley)
+    hi = int(np.ceil(2 * mu + 2 * s2))
+    return lo, max(hi, lo + 1)
+
+
+def _tail_band(hist_rows: list[tuple[int, int]], cfg: DedupConfig) -> tuple[int, int]:
+    """99.9% tail-mass knee heuristic, adapted to Zipfian text corpora:
+    lower bound df_lo (≥2 — a duplication signal needs ≥2 convs), upper
+    bound the smallest df covering the tail mass — everything above is
+    boilerplate head."""
     tail_mass = 0.999
     rows = sorted((int(d), int(n)) for d, n in hist_rows if int(d) >= cfg.df_lo)
     total = sum(n for _, n in rows)
@@ -85,6 +167,39 @@ def pick_df_band(hist_rows: list[tuple[int, int]], cfg: DedupConfig) -> tuple[in
             hi = d
             break
     return cfg.df_lo, max(hi, cfg.df_hi)
+
+
+def pick_df_band(hist_rows: list[tuple[int, int]], cfg: DedupConfig) -> tuple[int, int]:
+    """Informative-DF band selection, dispatching on cfg.df_band_mode:
+
+    * "manual" — cfg.df_lo/df_hi verbatim (the --homozygous_*_bound
+      override parity, reference dedup.py:552-560);
+    * "tail"   — knee heuristic (also via the auto_df_band alias);
+    * "fit"    — bimodal-Gaussian spectrum fit, raising
+      :class:`SpectrumFitError` on a bad fit (the reference's hard
+      exit, kmer_spectrum.py:184-187);
+    * "fit_or_tail" — fit, falling back to the knee heuristic WITH a
+      loud warning (never silently).
+    """
+    mode = cfg.df_band_mode
+    if mode == "manual" and cfg.auto_df_band:
+        mode = "tail"
+    if mode == "manual":
+        return cfg.df_lo, cfg.df_hi
+    if mode == "tail":
+        return _tail_band(hist_rows, cfg)
+    if mode == "fit":
+        return fit_df_spectrum(hist_rows, cfg)
+    # fit_or_tail
+    try:
+        return fit_df_spectrum(hist_rows, cfg)
+    except SpectrumFitError as e:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "spectrum fit failed (%s); falling back to tail-mass heuristic", e
+        )
+        return _tail_band(hist_rows, cfg)
 
 
 def informative_shingle_sets(

@@ -82,16 +82,24 @@ def suffix_keys(
         )
     else:
         n_parts = 2 * docs.sparkSession.sparkContext.defaultParallelism
+    # Window extraction runs on a BINARY copy of the doc: substring on a
+    # UTF8 string is O(pos) (it must scan for char boundaries), which
+    # makes whole-doc suffix enumeration O(doc_len²) per doc — measured
+    # 40× slower on ~9k-char docs. Binary substring is a byte-indexed
+    # O(w) slice. Positions are byte offsets (== char offsets on the
+    # ASCII corpora this engine targets; the reference's DNA input is
+    # ASCII too).
     return (
         docs.repartition(n_parts)
+        .select("conv_id", F.encode("doc", "UTF-8").alias("b"))
         .select(
             "conv_id",
-            "doc",
+            "b",
             F.explode(
-                F.sequence(F.lit(1), F.length("doc") - w + 1, F.lit(stride))
+                F.sequence(F.lit(1), F.length("b") - w + 1, F.lit(stride))
             ).alias("pos"),
         )
-        .select("conv_id", "pos", F.expr(f"xxhash64(substr(doc, pos, {w}))").alias("key"))
+        .select("conv_id", "pos", F.expr(f"xxhash64(substring(b, pos, {w}))").alias("key"))
     )
 
 
@@ -138,6 +146,7 @@ def anchor_matches(
     cfg: DedupConfig,
     pairs: DataFrame | None = None,
     convs: DataFrame | None = None,
+    key_occ: DataFrame | None = None,
 ) -> DataFrame:
     """Sorted suffix-array pass → (conv_a, conv_b, a_pos, b_pos), conv_a
     < conv_b (canonical order, reference dedup.py:373-376).
@@ -176,11 +185,23 @@ def anchor_matches(
     cid = F.xxhash64(F.col("conv_id").cast("string"))
     num_keys = keys.select(cid.alias("cid"), "pos", "key")
 
-    w_cnt = W.partitionBy("key")
+    # Restrict to repeated, capped keys BEFORE any sort: a window count
+    # over partitionBy(key) would sort the ENTIRE exploded table (the
+    # overwhelmingly-singleton suffix keys included) — measured as the
+    # dominant spill-prone stage at high parallelism. A hash aggregation
+    # + hash semi-join never sorts, and the windowed pair expansion then
+    # runs only on the tiny repeated-key remainder. ``key_occ`` lets the
+    # caller reuse the occurrence table it already computes for the skew
+    # report (one scan instead of two).
+    occ = key_occ if key_occ is not None else num_keys.groupBy("key").agg(
+        F.count(F.lit(1)).alias("occ")
+    )
+    ok_keys = occ.filter((F.col("occ") > 1) & (F.col("occ") <= cap)).select("key")
+    survivors = num_keys.join(ok_keys.hint("shuffle_hash"), "key")
+
     w_pred = W.partitionBy("key").orderBy("cid", "pos").rowsBetween(-cap, -1)
     expanded = (
-        num_keys.withColumn("run_len", F.count(F.lit(1)).over(w_cnt))
-        .filter((F.col("run_len") > 1) & (F.col("run_len") <= cap))
+        survivors
         .withColumn("preds", F.collect_list(F.struct("cid", "pos")).over(w_pred))
         .select("cid", "pos", F.explode("preds").alias("p"))
         .filter(F.col("p.cid") != F.col("cid"))

@@ -5,8 +5,8 @@ keys — the distributed analog of the reference's skip-if-exists file
 caching, dedup.py:439-443):
 
   turns ─► transcripts ─► shingle_sets ─► shingle_df ─► df_histogram
-                    │                        │
-                    └────────► informative ◄─┘
+                    │                        │              │
+                    └────────► informative ◄─┴── df band (manual/tail/fit)
                                    │
                                signatures ─► bands ─► bucket_sizes
                                    │                     │     │
@@ -18,11 +18,14 @@ caching, dedup.py:439-443):
                                    │
                                 clusters ─► deduped_turns + stats
                                                   │
-  transcripts ─► suffix keys ──► anchor_skew      │
-        │               │                         │
-        └► substring_spans (⋈ candidate_pairs)    │
-                  │                               ▼
-           interval_marks ──► merged ──► trimmed_turns
+  transcripts ─► suffix keys ─► key_occ_repeated ─► anchor_skew
+        │               │            │            │
+        │               └─────► anchors (⋈ candidate_pairs)
+        │  shingle_df ─► position_classes ─► substring_spans (dnd-scored)
+        │                                         │           ▼
+        └────────────────────────────────► interval_marks ─► merged
+                                                              │
+                                             trimmed_turns ◄──┘
 """
 
 from __future__ import annotations
@@ -136,9 +139,16 @@ class DedupPipeline:
             cand_transcripts.agg(F.sum("doc_len")).collect()[0][0] or 0
         )
         skeys = substring.suffix_keys(cand_transcripts, cfg, total_chars=total_chars)
+        # one aggregation pass over the suffix explode serves BOTH the
+        # skew report and the anchor-pass key restriction: only repeated
+        # keys are kept (singletons — the vast majority — can never
+        # anchor a match), so the checkpoint stays small
+        key_occ = cat.stage(
+            "key_occ_repeated",
+            lambda: substring.key_occurrence(skeys).filter(F.col("occ") > 1),
+        )
         anchor_skew = cat.stage(
-            "anchor_skew",
-            lambda: substring.anchor_skew_report(substring.key_occurrence(skeys), cfg),
+            "anchor_skew", lambda: substring.anchor_skew_report(key_occ, cfg)
         )
         # per-position duplication classes for the dnd span scoring:
         # positions only for candidate conversations (the only ones with
@@ -161,7 +171,8 @@ class DedupPipeline:
             lambda: scoring.score_spans(
                 substring.chain_anchors(
                     substring.anchor_matches(
-                        skeys, cfg, pairs=candidates, convs=cand_transcripts
+                        skeys, cfg, pairs=candidates, convs=cand_transcripts,
+                        key_occ=key_occ,
                     ),
                     cfg,
                 ),

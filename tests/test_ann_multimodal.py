@@ -81,6 +81,48 @@ class TestAnn:
         recall = len(ann_pairs & truth) / len(truth)
         assert recall >= 0.9, sorted(truth - ann_pairs)
 
+    def test_planes_for_scales_with_corpus(self):
+        assert ann.planes_for(500, 200) == 8          # floor
+        assert ann.planes_for(10_000_000, 200) == 16  # 2^16 buckets ≈ 153/bucket
+        assert ann.planes_for(10**12, 200) == 33      # grows with corpus
+        assert ann.planes_for(10**30, 200) == 40      # int64-safe ceiling
+
+    def test_multi_table_recall_at_10x_corpus(self, spark):
+        """10× the base test corpus with DERIVED plane count + 2 tables:
+        recall vs brute force stays high and no bucket exceeds the cap
+        (the fixed-n_planes collapse mode: every bucket over cap →
+        excluded → zero recall)."""
+        vecs, _ = _cluster_vecs(seed=21, n_clusters=8, per=50)  # 400 vecs
+        df = _emb_df(spark, vecs)
+        queries = df.filter(F.col("vec_id") < 12)
+        got = ann.ann_topk(
+            df, queries, k=3, n_planes=None, dim=DIM, n_probes=6,
+            n_tables=2, target_bucket=50, max_bucket=200,
+        )
+        ann_pairs = {(r["query_id"], r["neighbor_id"]) for r in got.collect()}
+
+        ids = sorted(vecs)
+        m = np.stack([vecs[i] for i in ids])
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        sims = m @ m.T
+        truth = set()
+        for qi in range(12):
+            order = [
+                j for j in np.argsort(-np.round(sims[qi], 4), kind="stable")
+                if j != qi
+            ]
+            truth |= {(qi, ids[j]) for j in order[:3]}
+        recall = len(ann_pairs & truth) / len(truth)
+        assert recall >= 0.9, sorted(truth - ann_pairs)
+        # no excluded-bucket collapse at this scale
+        assert (
+            ann.bucket_skew_report(
+                df, n_planes=ann.planes_for(len(vecs), 50), dim=DIM,
+                max_bucket=200, n_tables=2,
+            ).count()
+            == 0
+        )
+
     def test_bucket_skew_report(self, spark):
         # identical vectors all land in one bucket → report fires
         df = _emb_df(spark, {i: np.ones(DIM) for i in range(30)})

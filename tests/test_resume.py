@@ -4,6 +4,7 @@ config fingerprints)."""
 
 import dataclasses
 
+import pytest
 from pyspark.sql import functions as F
 
 from dedup_spark.catalog import StageCatalog
@@ -52,6 +53,15 @@ def test_pipeline_resume_equivalence(spark, tmp_path):
     assert clusters1 == clusters2
     reused = {m.stage for m in p2.catalog.metrics if m.reused}
     assert {"transcripts", "shingle_sets", "shingle_df", "signatures"} <= reused
+
+
+def test_iceberg_backend_requires_real_catalog(spark, tmp_path):
+    """The iceberg branch never silently fakes capability: without an
+    Iceberg catalog configured on the session it refuses to construct."""
+    with pytest.raises(RuntimeError, match="Iceberg catalog"):
+        StageCatalog(spark, str(tmp_path), "fp", table_format="iceberg")
+    with pytest.raises(ValueError, match="table_format"):
+        StageCatalog(spark, str(tmp_path), "fp", table_format="orc")
 
 
 def test_changed_config_recomputes(spark, tmp_path):
