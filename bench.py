@@ -35,7 +35,9 @@ def main() -> int:
         "verified_token_pairs",
         "cc_clusters",
         "substring_spans",
+        "span_scores",
         "interval_marks",
+        "conv_shingle_stats",
         "exact_dedup_docs",
         "events_sessionize",
         "session_spans",

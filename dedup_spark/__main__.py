@@ -34,6 +34,9 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--master", default=None, help="spark master (default local[$SPARK_GRAFT_CPUS])")
     ap.add_argument("--shingle-k", type=int, default=17)
     ap.add_argument("--auto-df-band", action="store_true")
+    ap.add_argument("--df-band-mode", default="manual",
+                    choices=["manual", "tail", "fit", "fit_or_tail"],
+                    help="informative-DF band selection (spectrum-fit analog)")
     ap.add_argument("--report", help="write a one-line JSON run report here")
     args = ap.parse_args(argv)
 
@@ -41,7 +44,11 @@ def main(argv: list[str] | None = None) -> int:
     from dedup_spark.pipeline import DedupPipeline
     from dedup_spark.session import get_spark
 
-    cfg = DedupConfig(shingle_k=args.shingle_k, auto_df_band=args.auto_df_band)
+    cfg = DedupConfig(
+        shingle_k=args.shingle_k,
+        auto_df_band=args.auto_df_band,
+        df_band_mode=args.df_band_mode,
+    )
     spark = get_spark(master=args.master, app_name="dedup_spark_cli")
 
     turns_path = args.turns

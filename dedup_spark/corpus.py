@@ -47,10 +47,15 @@ BASE_TS = np.datetime64("2026-01-01T00:00:00")
 class CorpusSpec:
     n_convs: int = 200
     seed: int = 42
-    # Vocabulary must grow with corpus size: with a fixed small vocab,
-    # chance k-shingle collisions across unrelated conversations inflate
-    # shingle document frequency past df_hi and starve the informative
-    # band at scale. None → max(len(VOCAB), 64*sqrt(n_convs)).
+    # Vocabulary must grow LINEARLY with corpus size: real language has
+    # an effectively unbounded 17-char/25-char window space, so chance
+    # cross-conversation window collisions are rare outside genuine
+    # duplication. A sublinear vocab (the earlier 64*sqrt(n)) makes the
+    # 2-3-token window space smaller than the number of windows, so
+    # random collisions grow ~n^2 — inflating shingle DF into the
+    # informative band and flooding the suffix-anchor pass with noise
+    # pairs (measured: half of ALL suffix keys repeated at n=8000).
+    # None → max(len(VOCAB), 8*n_convs).
     vocab_size: int | None = None
     frac_exact: float = 0.05
     frac_near: float = 0.15
@@ -108,7 +113,7 @@ def generate_corpus(spec: CorpusSpec | None = None):
     """→ (turns_df, oracle_pairs_df, oracle_clusters_df) as pandas."""
     spec = spec or CorpusSpec()
     rng = np.random.Generator(np.random.PCG64(spec.seed))
-    vsize = spec.vocab_size or max(len(VOCAB), int(64 * spec.n_convs ** 0.5))
+    vsize = spec.vocab_size or max(len(VOCAB), int(8 * spec.n_convs))
     vocab = build_vocab(vsize)
 
     convs: dict[str, list[str]] = {}

@@ -646,6 +646,27 @@ def _q_span_scores(spark, sf_dir):
     )
 
 
+def _q_dnd_moving_average(spark, sf_dir):
+    """Non-overlapping window mean of the per-position dnd classes —
+    the A10 moving-average analog (reference contig.py:88-100, window
+    mean of dnd_ratio for the per-contig plots), window = 100 positions."""
+    from dedup_spark.operators import scoring
+
+    t = _doc_transcripts(spark, sf_dir)
+    wkeys = scoring.jvm_window_keys(t, K)
+    poscls = scoring.position_classes(wkeys, scoring.window_df(wkeys), 2, 4)
+    return (
+        poscls.groupBy(
+            F.col("conv_id").alias("doc_id"),
+            F.floor((F.col("pos") - 1) / 100).cast("long").alias("win_id"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_positions"),
+            F.round(F.sum("cls") / F.count(F.lit(1)), 6).alias("mean_dnd"),
+        )
+    )
+
+
 def _q_substring_best(spark, sf_dir):
     from dedup_spark.operators import substring
 
@@ -753,9 +774,7 @@ spans_k AS (
 """
 )
 
-_SCORED_SQL = (
-    _SPANSK_SQL
-    + f""",
+_POSCLS_SQL = f"""
 grams17 AS (
   SELECT doc_id AS conv_id, u.i AS pos, substr(text, cast(u.i AS int), {K}) AS g
   FROM documents, unnest(range(1, len(text) - {K} + 2)) AS u(i)
@@ -767,7 +786,14 @@ poscls AS (
          CASE WHEN df BETWEEN 2 AND 4 THEN 1 WHEN df = 1 THEN -1 END AS cls
   FROM grams17 JOIN gdf USING (g)
   WHERE df BETWEEN 2 AND 4 OR df = 1
-),
+)
+"""
+
+_SCORED_SQL = (
+    _SPANSK_SQL
+    + ","
+    + _POSCLS_SQL
+    + """,
 astats AS (
   SELECT s.conv_a, s.conv_b, s.chain_id,
          sum(p.cls) AS dnd_sum_a, count(*) AS dnd_n_a
@@ -1170,6 +1196,14 @@ ORDER BY revenue DESC, l_orderkey ASC LIMIT 20""",
         _q_substring_spans,
         f"WITH {_SPANS_SQL} SELECT conv_a, conv_b, a_start, a_end, b_start, b_end, "
         "n_anchors, matched FROM spans",
+    ),
+    "dnd_moving_average": QuerySpec(
+        _q_dnd_moving_average,
+        f"""WITH {_POSCLS_SQL}
+SELECT conv_id AS doc_id, cast(floor((pos - 1) / 100) AS bigint) AS win_id,
+       count(*) AS n_positions,
+       round(sum(cls)::double / count(*), 6) AS mean_dnd
+FROM poscls GROUP BY 1, 2""",
     ),
     "span_scores": QuerySpec(
         _q_span_scores,

@@ -49,6 +49,10 @@ def connected_components(
             .groupBy("dst")
             .agg(F.min("cluster_id").alias("nbr_label"))
         )
+        # the "did anything change" flag rides along in the SAME pass
+        # (a separate old-vs-new join per iteration doubled the loop's
+        # fixed job cost); the convergence probe then just filters the
+        # already-checkpointed result
         new_labels = (
             labels.join(neighbor_min, labels.conv_id == neighbor_min.dst, "left")
             .select(
@@ -56,17 +60,15 @@ def connected_components(
                 F.least(
                     F.col("cluster_id"), F.coalesce("nbr_label", F.col("cluster_id"))
                 ).alias("cluster_id"),
+                (
+                    F.col("nbr_label").isNotNull()
+                    & (F.col("nbr_label") < F.col("cluster_id"))
+                ).alias("_changed"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "conv_id")
-            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("_changed")).limit(1).count()
+        labels = new_labels.drop("_changed")
         if changed == 0:
             break
-    return labels
+    return labels.select("conv_id", "cluster_id")

@@ -82,20 +82,29 @@ def position_classes(
     (non-duplicated); any other df emits no row (NaN analog,
     contig.py:63-64). ``df_table`` must use the same key hash space as
     ``keys`` (jvm_window_keys ↔ window_df, or the positional shingle UDF
-    ↔ the pipeline's shingle_df)."""
-    cls = (
-        F.when(F.col("__df").between(F.lit(lo), F.lit(hi)), F.lit(1))
-        .when(F.col("__df") == 1, F.lit(-1))
-    )
-    # distinct column names sidestep self-join attribute ambiguity
-    # (df_table is typically derived from keys, so keys["key"] ==
-    # df_table["key"] would resolve to a trivially-true predicate)
+    ↔ the pipeline's shingle_df). Requires lo >= 2 (df == 1 is the
+    non-duplicated class by definition)."""
+    if lo < 2:
+        raise ValueError(f"position-class lo must be >= 2, got {lo}")
+    # Join against the df >= 2 SUBSET only — the overwhelming majority
+    # of windows are corpus-unique (df == 1), so shipping the full df
+    # table through the join would shuffle the biggest table in the
+    # pipeline to classify rows a null probe identifies for free: after
+    # a LEFT join on the (small) repeated-window side, NULL df ⇔
+    # df == 1 ⇔ non-duplicated. AQE broadcasts the small side when it
+    # fits, leaving the ×doc_len positions table entirely map-side.
+    # Distinct column names sidestep self-join attribute ambiguity
+    # (df_table is typically derived from keys).
     d = df_table.select(
         F.col(df_table.columns[0]).alias("__k"),
         F.col(df_table.columns[1]).alias("__df"),
+    ).filter(F.col("__df") >= 2)
+    cls = (
+        F.when(F.col("__df").isNull(), F.lit(-1))
+        .when(F.col("__df").between(F.lit(lo), F.lit(hi)), F.lit(1))
     )
     return (
-        keys.join(d, F.col("key") == F.col("__k"))
+        keys.join(d, F.col("key") == F.col("__k"), "left")
         .withColumn("cls", cls)
         .filter(F.col("cls").isNotNull())
         .select("conv_id", "pos", "cls")
@@ -166,6 +175,57 @@ def score_spans(spans: DataFrame, poscls: DataFrame, cfg: DedupConfig) -> DataFr
         "a_start", "a_end", "b_start", "b_end",
         "n_anchors", "matched", "dnd_a", "dnd_b", "score",
     )
+
+
+def span_position_classes(
+    chains: DataFrame,
+    transcripts: DataFrame,
+    shingle_df: DataFrame,
+    cfg: DedupConfig,
+    lo: int,
+    hi: int,
+) -> DataFrame:
+    """Position classes restricted to the chained spans' OWN ranges.
+
+    Scoring only ever reads positions inside a span's [start, end]
+    interval, yet classifying every position of every span conversation
+    explodes ×doc_len (measured as the pipeline's single biggest stage).
+    Instead: merge each conversation's span intervals, slice just those
+    text fragments (+k−1 chars so every window STARTING in the interval
+    exists), hash the fragments through the same polynomial kernel, and
+    re-base positions by the fragment offset. UDF + join volume is then
+    proportional to total span chars, not total doc chars.
+    """
+    from dedup_spark.functions.udfs import make_window_hash_udf
+    from dedup_spark.operators.intervals import merge_intervals
+
+    k = cfg.shingle_k
+    ivals = merge_intervals(
+        chains.select(
+            F.col("conv_a").alias("conv_id"),
+            F.col("a_start").alias("start"),
+            F.col("a_end").alias("end"),
+        ).union(
+            chains.select(
+                F.col("conv_b").alias("conv_id"),
+                F.col("b_start").alias("start"),
+                F.col("b_end").alias("end"),
+            )
+        )
+    )
+    udf = make_window_hash_udf(cfg)
+    frags = (
+        ivals.join(transcripts.select("conv_id", "doc"), "conv_id")
+        .select(
+            "conv_id",
+            "start",
+            F.expr(f"substring(doc, start, end - start + {k})").alias("frag"),
+        )
+        .withColumn("h", udf(F.col("frag")))
+        .select("conv_id", "start", F.posexplode("h").alias("i", "key"))
+        .select("conv_id", (F.col("start") + F.col("i")).alias("pos"), "key")
+    )
+    return position_classes(frags, shingle_df, lo, hi)
 
 
 def conv_class_totals(poscls: DataFrame) -> DataFrame:

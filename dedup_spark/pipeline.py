@@ -37,7 +37,6 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from dedup_spark.catalog import StageCatalog
 from dedup_spark.config import DedupConfig
-from dedup_spark.functions.udfs import positional_shingles
 from dedup_spark.operators import intervals, lsh, scoring, shingling, substring, verify
 from dedup_spark.operators.connected_components import connected_components
 from dedup_spark.operators.transcripts import assemble_transcripts
@@ -109,7 +108,7 @@ class DedupPipeline:
         stats = cat.stage(
             "stats",
             lambda: self._stats(
-                transcripts, signatures, clusters, exploded, shingle_df, cfg
+                transcripts, sets_df, signatures, clusters, exploded, shingle_df, cfg
             ),
         )
 
@@ -150,35 +149,35 @@ class DedupPipeline:
         anchor_skew = cat.stage(
             "anchor_skew", lambda: substring.anchor_skew_report(key_occ, cfg)
         )
-        # per-position duplication classes for the dnd span scoring:
-        # positions only for candidate conversations (the only ones with
-        # spans to score); document frequency stays CORPUS-WIDE via the
-        # already-checkpointed shingle_df — a window's duplication status
-        # depends on the whole corpus, not the candidate subset.
+        chains = cat.stage(
+            "substring_chains",
+            lambda: substring.chain_anchors(
+                substring.anchor_matches(
+                    skeys, cfg, pairs=candidates, convs=cand_transcripts,
+                    key_occ=key_occ,
+                ),
+                cfg,
+            ),
+        )
+        # per-position duplication classes for the dnd span scoring,
+        # restricted to the spans' own char ranges (volume ∝ total span
+        # chars, not ×doc_len); document frequency stays CORPUS-WIDE via
+        # the already-checkpointed shingle_df — a window's duplication
+        # status depends on the whole corpus.
         poscls = cat.stage(
             "position_classes",
-            lambda: scoring.position_classes(
-                positional_shingles(cand_transcripts, cfg).withColumnRenamed(
-                    "shingle", "key"
-                ),
+            lambda: scoring.span_position_classes(
+                chains,
+                cand_transcripts,
                 shingle_df.withColumnRenamed("shingle", "key"),
+                cfg,
                 lo,
                 hi,
             ),
         )
         spans = cat.stage(
             "substring_spans",
-            lambda: scoring.score_spans(
-                substring.chain_anchors(
-                    substring.anchor_matches(
-                        skeys, cfg, pairs=candidates, convs=cand_transcripts,
-                        key_occ=key_occ,
-                    ),
-                    cfg,
-                ),
-                poscls,
-                cfg,
-            ),
+            lambda: scoring.score_spans(chains, poscls, cfg),
         )
         best_spans = substring.best_substring_match(spans)
         marks = cat.stage(
@@ -221,6 +220,7 @@ class DedupPipeline:
     @staticmethod
     def _stats(
         transcripts: DataFrame,
+        sets_df: DataFrame,
         signatures: DataFrame,
         clusters: DataFrame,
         exploded: DataFrame,
@@ -235,31 +235,43 @@ class DedupPipeline:
           shingle totals, the sum(homo_dup_depth)/sum(homo_non_dup_depth)
           split (A5; set semantics — per-conv shingle sets are distinct).
           ``n_shingles`` on signatures IS the dup count already (the
-          informative set), so only the df==1 side needs an extra agg.
+          informative set), and the df == 1 count is the complement of
+          the conv's df >= 2 count — joining the (small) repeated-shingle
+          subset instead of the (huge) unique-shingle subset keeps the
+          exploded table map-side under AQE broadcast.
         * removal ratios with the reference's 1e-6 epsilon
           (dedup.py:183-186, X3): under whole-conversation dedup a
           non-representative conv removes ALL its shingles.
         """
-        nondup = (
+        repeated = (
             exploded.join(
-                shingle_df.filter(F.col("df") == 1).select("shingle"), "shingle"
+                shingle_df.filter(F.col("df") >= 2).select("shingle"), "shingle"
             )
             .groupBy("conv_id")
-            .agg(F.count(F.lit(1)).alias("n_non_dup_shingles"))
+            .agg(F.count(F.lit(1)).alias("n_repeated"))
         )
         e = F.lit(cfg.stats_epsilon)
         base = (
             transcripts.select("conv_id", "n_turns", "doc_len")
-            .join(signatures.select("conv_id", "n_shingles"), "conv_id", "left")
-            .join(nondup, "conv_id", "left")
+            .join(
+                sets_df.select("conv_id", F.col("n_shingles").alias("n_total")),
+                "conv_id",
+                "left",
+            )
+            .join(
+                signatures.select("conv_id", "n_shingles"), "conv_id", "left"
+            )
+            .join(repeated, "conv_id", "left")
             .join(clusters, "conv_id", "left")
             .withColumn("n_dup_shingles", F.coalesce("n_shingles", F.lit(0)))
             .withColumn(
-                "n_non_dup_shingles", F.coalesce("n_non_dup_shingles", F.lit(0))
+                "n_non_dup_shingles",
+                F.coalesce("n_total", F.lit(0)) - F.coalesce("n_repeated", F.lit(0)),
             )
             .withColumn(
                 "is_representative", F.col("conv_id") == F.col("cluster_id")
             )
+            .drop("n_total", "n_repeated")
         )
         removed_dup = F.when(
             F.col("is_representative"), F.lit(0)

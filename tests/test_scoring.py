@@ -108,6 +108,53 @@ class TestScoreSpans:
         assert best[0]["a_start"] == 200  # 20+20+4 = 44 > 0+0+20
 
 
+class TestSpanPositionClasses:
+    def test_matches_full_classification_on_ranges(self, spark):
+        """Fragment-sliced classification agrees with whole-doc
+        classification on every position inside the span ranges."""
+        from dedup_spark.functions.udfs import positional_shingles
+
+        cfg = DedupConfig(shingle_k=5)
+        shared = "abcdefghijklmnopqrst"
+        docs = spark.createDataFrame(
+            [
+                ("a", "XX" + shared + "YYYYYYYYYY", 1, 32),
+                ("b", "ZZZZ" + shared + "WWWW", 1, 28),
+            ],
+            "conv_id string, doc string, n_turns long, doc_len long",
+        )
+        sets_exploded = positional_shingles(docs, cfg).withColumnRenamed(
+            "shingle", "key"
+        )
+        sdf = (
+            sets_exploded.dropDuplicates(["conv_id", "key"])
+            .groupBy("key")
+            .agg(F.count(F.lit(1)).alias("df"))
+        )
+        chains = spark.createDataFrame(
+            [("a", "b", 1, 3, 22, 5, 24, 4, 20)],
+            "conv_a string, conv_b string, chain_id long, a_start int, "
+            "a_end int, b_start int, b_end int, n_anchors long, matched int",
+        )
+        got = {
+            (r.conv_id, r.pos): r.cls
+            for r in scoring.span_position_classes(
+                chains, docs, sdf, cfg, 2, 4
+            ).collect()
+        }
+        full = {
+            (r.conv_id, r.pos): r.cls
+            for r in scoring.position_classes(sets_exploded, sdf, 2, 4).collect()
+        }
+        want = {
+            kp: c
+            for kp, c in full.items()
+            if (kp[0] == "a" and 3 <= kp[1] <= 22) or (kp[0] == "b" and 5 <= kp[1] <= 24)
+        }
+        assert got == want
+        assert any(c == 1 for c in got.values())  # shared region classified dup
+
+
 class TestPositionClasses:
     def test_classes_from_jvm_windows(self, spark):
         # three docs: "a" and "b" share a region (df=2 → dup), each has

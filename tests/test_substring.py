@@ -144,6 +144,48 @@ class TestAnchorsAndChaining:
         assert abs(r["matched"] - truth) <= CFG.anchor_w
 
 
+class TestPlantedTruth:
+    """Algorithm-independent ground truth: spans are planted by
+    construction (not mirrored SQL), and every planted span must be
+    recovered with tight coordinates — guards against the oracle
+    circularity of engine-vs-engine comparison."""
+
+    @pytest.mark.parametrize("seed,n_spans", [(21, 1), (22, 2), (23, 3)])
+    def test_planted_spans_recovered(self, spark, seed, n_spans):
+        rng = np.random.Generator(np.random.PCG64(seed))
+        a_parts, b_parts = [], []
+        planted = []  # (a_start, a_end, b_start, b_end) 1-based inclusive
+        a_len = b_len = 0
+
+        def filler(n):
+            return _rand_text(rng, n)
+
+        for _ in range(n_spans):
+            fa, fb = filler(int(rng.integers(150, 260))), filler(int(rng.integers(150, 260)))
+            a_parts.append(fa); a_len += len(fa)
+            b_parts.append(fb); b_len += len(fb)
+            seg = _rand_text(rng, int(rng.integers(70, 140)))
+            planted.append((a_len + 1, a_len + len(seg), b_len + 1, b_len + len(seg)))
+            a_parts.append(seg); a_len += len(seg)
+            b_parts.append(seg); b_len += len(seg)
+        a_parts.append(filler(120)); b_parts.append(filler(140))
+
+        docs = _docs_df(spark, {"a": "".join(a_parts), "b": "".join(b_parts)})
+        spans = substring.chain_anchors(
+            substring.anchor_matches(substring.suffix_keys(docs, CFG), CFG), CFG
+        ).collect()
+        w = CFG.anchor_w
+        for (pa, pae, pb, pbe) in planted:
+            hit = [
+                s for s in spans
+                if abs(s["a_start"] - pa) <= w and abs(s["a_end"] - pae) <= w
+                and abs(s["b_start"] - pb) <= w and abs(s["b_end"] - pbe) <= w
+            ]
+            assert hit, (planted, sorted(
+                (s["a_start"], s["a_end"], s["b_start"], s["b_end"]) for s in spans
+            ))
+
+
 class TestIntervalDecision:
     """Mirrors reference decision rules dedup.py:244-308 and trim
     semantics test_contig.py:46-77."""
