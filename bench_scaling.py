@@ -165,6 +165,14 @@ def main() -> int:
             for c, r in reps.items()
         },
     }
+    # hardware calibration for the primary pair: what the hypervisor
+    # actually delivers 2→8 for codegen-only compute (no shuffle, no
+    # Python); normalized efficiency isolates the PIPELINE's scaling
+    # from host throttling — both numbers are reported side by side
+    raw_2_8 = raw_compute_speedup(2, 8)
+    pipe_2_8 = r8["turns_per_sec"] / r2["turns_per_sec"]
+    out["raw_compute_speedup_2_8"] = round(raw_2_8, 3)
+    out["normalized_efficiency_2_8"] = round(pipe_2_8 / raw_2_8, 3)
     if 32 in reps:
         r32 = reps[32]
         raw = raw_compute_speedup(8, 32)

@@ -930,6 +930,64 @@ def _q_ann_lsh_topk(spark, sf_dir):
     )
 
 
+def _q_embedding_neardup_pairs(spark, sf_dir):
+    """Embedding-cosine near-duplicate PAIRS (the dedup-family variant
+    of similarity search): candidates from a hyperplane-LSH bucket
+    self-join over 8 independent tables (recall-first: a cos ≥ 0.95
+    pair collides in ≥1 of 8 six-plane tables with prob ≈ 1 − 2e-3),
+    then exact cosine verification — no quadratic stage. The DuckDB
+    oracle is the exhaustive self-join (fine at oracle sf).
+
+    The driver's synthetic embeddings top out near cos ≈ 0.5, so both
+    engines correctly report ZERO pairs at the 0.95 near-dup threshold;
+    tests/test_ann_multimodal.py plants genuine near-dup clusters and
+    asserts nonzero recovery through this same operator path."""
+    from dedup_spark.operators import ann
+
+    emb = _read(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    b = ann.bucket_ids(v, "v", n_planes=6, dim=64, seed=42, n_probes=1, n_tables=8)
+    left = b.select("table", "bucket", F.col("vec_id").alias("vec_a"))
+    right = b.select("table", "bucket", F.col("vec_id").alias("vec_b"))
+    cand = (
+        left.join(right, ["table", "bucket"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    va = v.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("xa"))
+    vb = v.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("xb"))
+    dot = lambda a, b: F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x
+    )
+    cos = F.round(
+        dot(F.col("xa"), F.col("xb"))
+        / (F.sqrt(dot(F.col("xa"), F.col("xa"))) * F.sqrt(dot(F.col("xb"), F.col("xb")))),
+        4,
+    )
+    return (
+        cand.join(va.hint("shuffle_hash"), "vec_a")
+        .join(vb.hint("shuffle_hash"), "vec_b")
+        .withColumn("cos", cos)
+        .filter(F.col("cos") >= 0.95)
+        .select("vec_a", "vec_b", "cos")
+    )
+
+
+NEARDUP_EMB_SQL = """
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+             / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 4) AS cos
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+            / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+               * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 4) >= 0.95
+"""
+
+
 def _q_multimodal_features(spark, sf_dir):
     """Binary-payload decode plumbing via mapInPandas (deterministic
     fake decode; real codecs are the stubbed integration point)."""
@@ -1222,6 +1280,7 @@ FROM poscls GROUP BY 1, 2""",
         "WHERE doc_id IS NOT NULL",
     ),
     "ann_lsh_topk": QuerySpec(_q_ann_lsh_topk, None),
+    "embedding_neardup_pairs": QuerySpec(_q_embedding_neardup_pairs, NEARDUP_EMB_SQL),
     "multimodal_features": QuerySpec(_q_multimodal_features, FEATURES_SQL),
     "frame_samples": QuerySpec(_q_frame_samples, FRAME_SAMPLES_SQL),
     "asset_resize_plan": QuerySpec(_q_resize_plan, RESIZE_SQL),

@@ -93,97 +93,120 @@ class DedupPipeline:
         candidates = cat.stage(
             "candidate_pairs", lambda: lsh.candidate_pairs(bands, bucket_sizes, cfg)
         )
-        verified = cat.stage(
-            "verified_pairs", lambda: verify.verify_pairs(candidates, signatures, cfg)
-        )
-        clusters = cat.stage(
-            "clusters",
-            lambda: connected_components(
-                transcripts.select("conv_id"),
-                verified.select("conv_a", "conv_b"),
-                cfg.cc_max_iters,
-            ),
-        )
-        deduped = cat.stage("deduped_turns", lambda: self._emit(turns, clusters))
-        stats = cat.stage(
-            "stats",
-            lambda: self._stats(
-                transcripts, sets_df, signatures, clusters, exploded, shingle_df, cfg
-            ),
-        )
-
-        # --- suffix-array substring pass (minimap2 analog, SURVEY §7 step 4).
-        # Spans are restricted to LSH candidate pairs (the reference computes
-        # the corpus-wide self-alignment but only ever looks candidates up,
-        # dedup.py:152 — restriction is semantic-preserving and much cheaper).
+        # From here the DAG forks into two INDEPENDENT branches that run
+        # concurrently from driver threads (Spark schedules their jobs
+        # side by side): narrow tail stages of one branch no longer
+        # leave executor cores idle while the other branch has work —
+        # measured as the main parallel-efficiency tax at high core
+        # counts. Checkpoint/resume semantics are unchanged (each branch
+        # is the same cat.stage chain as before).
+        #
+        # Branch A — whole-conversation dedup: exact verify → connected
+        # components → representative emit + stats.
+        #
+        # Branch B — suffix-array substring pass (minimap2 analog,
+        # SURVEY §7 step 4). Spans are restricted to LSH candidate pairs
+        # (the reference computes the corpus-wide self-alignment but
+        # only ever looks candidates up, dedup.py:152 — restriction is
+        # semantic-preserving and much cheaper), and restricted BEFORE
+        # the explode via a semi-join on the compact transcripts table,
+        # so its volume tracks the candidate set, not the corpus.
         # ``deduped_turns`` stays whole-conversation dedup (the primary
-        # contract with its per-turn-equality invariant); ``trimmed_turns``
-        # additionally applies the reference's interval-trim semantics
-        # (contig.py:134-191) at turn granularity.
-        # The suffix pass is restricted to candidate-pair conversations
-        # BEFORE the explode (a semi-join on the compact transcripts
-        # table, not the ×doc_len key table), so its volume tracks the
-        # candidate set, not the corpus. Anchors come from the sorted
-        # suffix-array pass (bounded memory); the skew report is a plain
-        # count aggregation over the same keys.
-        cand_convs = (
-            candidates.select(F.col("conv_a").alias("conv_id"))
-            .union(candidates.select(F.col("conv_b").alias("conv_id")))
-            .distinct()
-        )
-        cand_transcripts = transcripts.join(cand_convs, "conv_id", "left_semi")
-        # one cheap column-pruned agg over the checkpointed transcripts
-        # parquet sizes the suffix explode (suffix_keys itself stays lazy)
-        total_chars = (
-            cand_transcripts.agg(F.sum("doc_len")).collect()[0][0] or 0
-        )
-        skeys = substring.suffix_keys(cand_transcripts, cfg, total_chars=total_chars)
-        # one aggregation pass over the suffix explode serves BOTH the
-        # skew report and the anchor-pass key restriction: only repeated
-        # keys are kept (singletons — the vast majority — can never
-        # anchor a match), so the checkpoint stays small
-        key_occ = cat.stage(
-            "key_occ_repeated",
-            lambda: substring.key_occurrence(skeys).filter(F.col("occ") > 1),
-        )
-        anchor_skew = cat.stage(
-            "anchor_skew", lambda: substring.anchor_skew_report(key_occ, cfg)
-        )
-        chains = cat.stage(
-            "substring_chains",
-            lambda: substring.chain_anchors(
-                substring.anchor_matches(
-                    skeys, cfg, pairs=candidates, convs=cand_transcripts,
-                    key_occ=key_occ,
+        # contract with its per-turn-equality invariant);
+        # ``trimmed_turns`` additionally applies the reference's
+        # interval-trim semantics (contig.py:134-191) at turn
+        # granularity and joins the branches at the end.
+
+        def branch_a():
+            verified = cat.stage(
+                "verified_pairs",
+                lambda: verify.verify_pairs(candidates, signatures, cfg),
+            )
+            clusters = cat.stage(
+                "clusters",
+                lambda: connected_components(
+                    transcripts.select("conv_id"),
+                    verified.select("conv_a", "conv_b"),
+                    cfg.cc_max_iters,
                 ),
-                cfg,
-            ),
-        )
-        # per-position duplication classes for the dnd span scoring,
-        # restricted to the spans' own char ranges (volume ∝ total span
-        # chars, not ×doc_len); document frequency stays CORPUS-WIDE via
-        # the already-checkpointed shingle_df — a window's duplication
-        # status depends on the whole corpus.
-        poscls = cat.stage(
-            "position_classes",
-            lambda: scoring.span_position_classes(
-                chains,
-                cand_transcripts,
-                shingle_df.withColumnRenamed("shingle", "key"),
-                cfg,
-                lo,
-                hi,
-            ),
-        )
-        spans = cat.stage(
-            "substring_spans",
-            lambda: scoring.score_spans(chains, poscls, cfg),
-        )
-        best_spans = substring.best_substring_match(spans)
-        marks = cat.stage(
-            "interval_marks",
-            lambda: intervals.decide_intervals(best_spans, transcripts, cfg),
-        )
+            )
+            deduped = cat.stage("deduped_turns", lambda: self._emit(turns, clusters))
+            stats = cat.stage(
+                "stats",
+                lambda: self._stats(
+                    transcripts, sets_df, signatures, clusters, exploded,
+                    shingle_df, cfg,
+                ),
+            )
+            return verified, clusters, deduped, stats
+
+        def branch_b():
+            cand_convs = (
+                candidates.select(F.col("conv_a").alias("conv_id"))
+                .union(candidates.select(F.col("conv_b").alias("conv_id")))
+                .distinct()
+            )
+            cand_transcripts = transcripts.join(cand_convs, "conv_id", "left_semi")
+            # one cheap column-pruned agg over the checkpointed
+            # transcripts parquet sizes the suffix explode
+            total_chars = (
+                cand_transcripts.agg(F.sum("doc_len")).collect()[0][0] or 0
+            )
+            skeys = substring.suffix_keys(
+                cand_transcripts, cfg, total_chars=total_chars
+            )
+            # one aggregation pass over the suffix explode serves BOTH
+            # the skew report and the anchor-pass key restriction
+            key_occ = cat.stage(
+                "key_occ_repeated",
+                lambda: substring.key_occurrence(skeys).filter(F.col("occ") > 1),
+            )
+            anchor_skew = cat.stage(
+                "anchor_skew", lambda: substring.anchor_skew_report(key_occ, cfg)
+            )
+            chains = cat.stage(
+                "substring_chains",
+                lambda: substring.chain_anchors(
+                    substring.anchor_matches(
+                        skeys, cfg, pairs=candidates, convs=cand_transcripts,
+                        key_occ=key_occ,
+                    ),
+                    cfg,
+                ),
+            )
+            # dnd position classes restricted to the spans' own char
+            # ranges (volume ∝ total span chars, not ×doc_len); df stays
+            # CORPUS-WIDE via the checkpointed shingle_df
+            poscls = cat.stage(
+                "position_classes",
+                lambda: scoring.span_position_classes(
+                    chains,
+                    cand_transcripts,
+                    shingle_df.withColumnRenamed("shingle", "key"),
+                    cfg,
+                    lo,
+                    hi,
+                ),
+            )
+            spans = cat.stage(
+                "substring_spans",
+                lambda: scoring.score_spans(chains, poscls, cfg),
+            )
+            best_spans = substring.best_substring_match(spans)
+            marks = cat.stage(
+                "interval_marks",
+                lambda: intervals.decide_intervals(best_spans, transcripts, cfg),
+            )
+            return anchor_skew, spans, marks
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            fa = pool.submit(branch_a)
+            fb = pool.submit(branch_b)
+            verified, clusters, deduped, stats = fa.result()
+            anchor_skew, spans, marks = fb.result()
+
         merged = intervals.merge_intervals(marks)
         trimmed = cat.stage(
             "trimmed_turns", lambda: intervals.trim_turns(deduped, merged, cfg)

@@ -123,6 +123,37 @@ class TestAnn:
             == 0
         )
 
+    def test_neardup_pair_operator_recovers_planted_pairs(self, spark):
+        """The embedding_neardup_pairs operator path (multi-table bucket
+        self-join + exact cosine verify) recovers planted near-identical
+        vectors — the driver corpus has none, so this is the non-vacuous
+        check of that query's operator."""
+        rng = np.random.Generator(np.random.PCG64(33))
+        base = rng.standard_normal((10, 64))
+        vecs = {}
+        for i in range(10):
+            vecs[2 * i] = base[i]
+            vecs[2 * i + 1] = base[i] + rng.standard_normal(64) * 0.01  # cos≈1
+        rows = [(k, [float(x) for x in v]) for k, v in vecs.items()]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+        from dedup_spark.entry_queries import _q_embedding_neardup_pairs
+
+        # _q_* reads {sf_dir}/embeddings.parquet; feed it our planted df
+        import dedup_spark.entry_queries as eq
+
+        orig = eq._read
+        eq._read = lambda spark_, sf_, table: df
+        try:
+            got = {
+                (r.vec_a, r.vec_b)
+                for r in _q_embedding_neardup_pairs(spark, "unused").collect()
+            }
+        finally:
+            eq._read = orig
+        want = {(2 * i, 2 * i + 1) for i in range(10)}
+        assert want <= got, sorted(want - got)
+
     def test_bucket_skew_report(self, spark):
         # identical vectors all land in one bucket → report fires
         df = _emb_df(spark, {i: np.ones(DIM) for i in range(30)})
