@@ -92,7 +92,8 @@ def run_once(cores: int, turns: str, tag: str = "") -> dict:
 
 def raw_compute_speedup(n_lo: int, n_hi: int) -> float:
     """Codegen-only Spark sum at both parallelism levels → throughput
-    ratio. Captures what the hypervisor actually delivers."""
+    ratio. Captures what the hypervisor actually delivers for
+    compute-bound work."""
     from pyspark.sql import SparkSession
 
     times = {}
@@ -108,6 +109,34 @@ def raw_compute_speedup(n_lo: int, n_hi: int) -> float:
         spark.range(0, 16_000_000_000, 1, 128).selectExpr(
             "sum(xxhash64(id))"
         ).collect()
+        times[n] = time.monotonic() - t0
+        spark.stop()
+    return times[n_lo] / times[n_hi]
+
+
+def raw_shuffle_speedup(n_lo: int, n_hi: int) -> float:
+    """Shuffle-bound Spark groupBy at both parallelism levels →
+    throughput ratio. A single box shares one memory-bandwidth budget
+    across all cores, so shuffle-heavy work hits a core-scaling ceiling
+    the compute probe does not — on a real cluster each added executor
+    brings its OWN bandwidth, so this probe is the fair single-box
+    denominator for a shuffle-heavy pipeline."""
+    from pyspark.sql import SparkSession
+
+    times = {}
+    for n in (n_lo, n_hi):
+        spark = (
+            SparkSession.builder.master(f"local[{n}]").appName(f"shufprobe{n}")
+            .config("spark.ui.enabled", "false")
+            .config("spark.sql.ansi.enabled", "false")
+            .config("spark.sql.shuffle.partitions", str(4 * n))
+            .getOrCreate()
+        )
+        spark.range(1).count()
+        t0 = time.monotonic()
+        spark.range(0, 80_000_000, 1, 64).selectExpr(
+            "xxhash64(id) AS k", "id AS v"
+        ).groupBy("k").count().selectExpr("sum(count)").collect()
         times[n] = time.monotonic() - t0
         spark.stop()
     return times[n_lo] / times[n_hi]
@@ -170,9 +199,12 @@ def main() -> int:
     # Python); normalized efficiency isolates the PIPELINE's scaling
     # from host throttling — both numbers are reported side by side
     raw_2_8 = raw_compute_speedup(2, 8)
+    shuf_2_8 = raw_shuffle_speedup(2, 8)
     pipe_2_8 = r8["turns_per_sec"] / r2["turns_per_sec"]
     out["raw_compute_speedup_2_8"] = round(raw_2_8, 3)
-    out["normalized_efficiency_2_8"] = round(pipe_2_8 / raw_2_8, 3)
+    out["raw_shuffle_speedup_2_8"] = round(shuf_2_8, 3)
+    out["normalized_efficiency_2_8_compute"] = round(pipe_2_8 / raw_2_8, 3)
+    out["normalized_efficiency_2_8_shuffle"] = round(pipe_2_8 / shuf_2_8, 3)
     if 32 in reps:
         r32 = reps[32]
         raw = raw_compute_speedup(8, 32)
