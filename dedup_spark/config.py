@@ -91,6 +91,12 @@ class DedupConfig:
     # --- misc ---
     seed: int = 42
     stats_epsilon: float = 1e-6  # ref stats epsilon, dedup.py:183
+    hash_family: str = "poly-splitmix-v2"  # version tag of the in-repo
+                                 # hashing kernels (functions/hashing.py);
+                                 # bump on any kernel change so resumed
+                                 # checkpoints can never silently mix
+                                 # hash spaces (v2 = in-repo token hash,
+                                 # replacing pandas hash_array)
 
     def __post_init__(self) -> None:
         if self.bands * self.rows_per_band != self.num_perm:

@@ -29,6 +29,33 @@ def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
 
+# Session-scoped memo of localCheckpoint()ed shared subplans.
+#
+# The driver (and bench.py) runs many queries back-to-back in ONE
+# session, and several queries compose the same expensive chain
+# (transcripts → shingle UDF → DF join → signature UDF; suffix keys →
+# anchors → chains → position classes). Without this, every composed
+# query — and every SELF-JOIN inside one query — re-executes the whole
+# chain from parquet: measured as a 2× wall regression in round 2
+# (minhash_lsh_candidates alone re-ran its signature-UDF upstream 3×).
+#
+# ``localCheckpoint(eager=True)`` materializes the subplan into executor
+# block storage (memory, disk-spill) and truncates lineage, so each
+# shared subplan is computed exactly once per (session, sf_dir). This is
+# the driver-query analog of the pipeline's StageCatalog checkpoints
+# (which already made the pipeline path immune).
+_SHARED: dict[tuple, DataFrame] = {}
+
+
+def _shared(spark: SparkSession, sf_dir: str, key: str, build) -> DataFrame:
+    mk = (spark, sf_dir, key)
+    df = _SHARED.get(mk)
+    if df is None:
+        df = build().localCheckpoint(eager=True)
+        _SHARED[mk] = df
+    return df
+
+
 def derive_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents → turns(conv_id, turn_idx, text): 20-token chunks.
 
@@ -98,7 +125,10 @@ shingle_df AS (
 def _transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dedup_spark.operators.transcripts import assemble_transcripts
 
-    return assemble_transcripts(derive_turns(spark, sf_dir))
+    return _shared(
+        spark, sf_dir, "transcripts",
+        lambda: assemble_transcripts(derive_turns(spark, sf_dir)),
+    )
 
 
 def _conv_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -115,19 +145,26 @@ def _conv_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _shingle_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
-        _conv_shingles(spark, sf_dir)
+    # memoized: shingle_df / histogram / informative / conv_shingle_stats
+    # all consume this groupBy (itself over the ×doc_len window explode)
+    return _shared(
+        spark, sf_dir, "shingle_df",
+        lambda: _conv_shingles(spark, sf_dir)
         .groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("df"))
+        .agg(F.count(F.lit(1)).alias("df")),
     )
 
 
 def _doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _read(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id", "lang", "source",
-        F.array_distinct(F.split("text", " ")).alias("toks"),
-    ).withColumn("n_toks", F.size("toks"))
+    def build():
+        docs = _read(spark, sf_dir, "documents")
+        return docs.select(
+            "doc_id", "lang", "source",
+            F.array_distinct(F.split("text", " ")).alias("toks"),
+        ).withColumn("n_toks", F.size("toks"))
+
+    # memoized: scanned twice per verify self-join, reused by cc_clusters
+    return _shared(spark, sf_dir, "doc_tokens", build)
 
 
 def _verified_token_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -156,28 +193,36 @@ def _verified_token_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     cfg = DedupConfig(
         num_perm=128, bands=128, rows_per_band=1, shingle_unit="token", shingle_k=1
     )
-    docs = _read(spark, sf_dir, "documents")
-    # token hashing stays JVM-side (xxhash64 inside transform); only the
-    # minhash/banding kernel crosses the Arrow boundary
-    hs = F.array_distinct(F.transform(F.split("text", " "), lambda t: F.xxhash64(t)))
-    sig = make_signature_udf(cfg)
-    sigs = (
-        docs.select("doc_id", "lang", "source", hs.alias("hs"))
-        .filter(F.size("hs") > 0)
-        .withColumn("bands", sig(F.col("hs")).getField("bands"))
-        .select(
-            "doc_id", "lang", "source",
-            F.posexplode("bands").alias("band_id", "band_hash"),
+
+    def build_sigs():
+        docs = _read(spark, sf_dir, "documents")
+        # token hashing stays JVM-side (xxhash64 inside transform); only the
+        # minhash/banding kernel crosses the Arrow boundary
+        hs = F.array_distinct(
+            F.transform(F.split("text", " "), lambda t: F.xxhash64(t))
         )
-        # one fused long join key (block attrs + band id + band hash):
-        # a single int64 column shuffles/joins far faster than a 4-col
-        # composite with strings; hash collisions can only ADD candidate
-        # pairs, which exact verification removes
-        .select(
-            "doc_id",
-            F.xxhash64("lang", "source", "band_id", "band_hash").alias("bkey"),
+        sig = make_signature_udf(cfg)
+        return (
+            docs.select("doc_id", "lang", "source", hs.alias("hs"))
+            .filter(F.size("hs") > 0)
+            .withColumn("bands", sig(F.col("hs")).getField("bands"))
+            .select(
+                "doc_id", "lang", "source",
+                F.posexplode("bands").alias("band_id", "band_hash"),
+            )
+            # one fused long join key (block attrs + band id + band hash):
+            # a single int64 column shuffles/joins far faster than a 4-col
+            # composite with strings; hash collisions can only ADD candidate
+            # pairs, which exact verification removes
+            .select(
+                "doc_id",
+                F.xxhash64("lang", "source", "band_id", "band_hash").alias("bkey"),
+            )
         )
-    )
+
+    # memoized: the signature-UDF chain is scanned TWICE by the band
+    # self-join below — without the checkpoint the UDF runs 2× per call
+    sigs = _shared(spark, sf_dir, "vt_band_sigs", build_sigs)
     cand = (
         sigs.select("bkey", F.col("doc_id").alias("doc_a"))
         .join(sigs.select("bkey", F.col("doc_id").alias("doc_b")), "bkey")
@@ -293,9 +338,12 @@ CONV_STATS_SQL = (
     + SHINGLES_SQL
     + """,
 per_conv AS (
+  -- ::bigint casts: DuckDB types sum() as HUGEINT (int128), which the
+  -- driver's hasher represents differently from Spark's bigint even when
+  -- the values are equal — every green query casts its sums the same way
   SELECT c.conv_id,
-         sum(CASE WHEN d.df BETWEEN 2 AND 4 THEN 1 ELSE 0 END) AS n_dup_shingles,
-         sum(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) AS n_non_dup_shingles
+         sum(CASE WHEN d.df BETWEEN 2 AND 4 THEN 1 ELSE 0 END)::bigint AS n_dup_shingles,
+         sum(CASE WHEN d.df = 1 THEN 1 ELSE 0 END)::bigint AS n_non_dup_shingles
   FROM conv_shingles c JOIN shingle_df d USING (shingle)
   GROUP BY c.conv_id
 )
@@ -319,7 +367,12 @@ def _q_dup_groups(spark, sf_dir):
 
 
 def _q_verified_pairs(spark, sf_dir):
-    return _verified_token_pairs(spark, sf_dir)
+    # memoized end-to-end: cc_clusters consumes the same verified edge
+    # set right after this query in both bench and the correctness run
+    return _shared(
+        spark, sf_dir, "verified_pairs",
+        lambda: _verified_token_pairs(spark, sf_dir),
+    )
 
 
 def _q_cc_clusters(spark, sf_dir):
@@ -329,7 +382,7 @@ def _q_cc_clusters(spark, sf_dir):
     # keep bigint ids end-to-end: min/least on strings would order
     # lexicographically ("100" < "99") and diverge from the numeric oracle
     nodes = docs.select(F.col("doc_id").alias("conv_id"))
-    edges = _verified_token_pairs(spark, sf_dir).select(
+    edges = _q_verified_pairs(spark, sf_dir).select(
         F.col("doc_a").alias("conv_a"), F.col("doc_b").alias("conv_b")
     )
     out = connected_components(nodes, edges)
@@ -595,15 +648,43 @@ def _q_substring_anchors(spark, sf_dir):
     )
 
 
-def _sub_spans_df(spark, sf_dir):
+def _sub_chains(spark, sf_dir):
+    """Chained spans (suffix keys → anchors → gap chaining), memoized:
+    substring_spans / span_scores / substring_best_match / interval_marks
+    all start from this chain — round 2 re-derived it per query."""
     from dedup_spark.operators import substring
 
     cfg = _sub_cfg()
-    t = _doc_transcripts(spark, sf_dir)
-    keys = substring.suffix_keys(t, cfg)
-    spans = substring.chain_anchors(
-        substring.anchor_matches(keys, cfg, convs=t), cfg
-    )
+
+    def build():
+        t = _doc_transcripts(spark, sf_dir)
+        keys = substring.suffix_keys(t, cfg)
+        return substring.chain_anchors(
+            substring.anchor_matches(keys, cfg, convs=t), cfg
+        )
+
+    return _shared(spark, sf_dir, "sub_chains", build)
+
+
+def _poscls17(spark, sf_dir):
+    """Whole-doc k=17 position classes, memoized (consumed by the dnd
+    moving average and by span scoring, and scanned twice per scoring
+    pass — one side per span end)."""
+    from dedup_spark.operators import scoring
+
+    def build():
+        t = _doc_transcripts(spark, sf_dir)
+        wkeys = scoring.jvm_window_keys(t, K)
+        wdf = _shared(
+            spark, sf_dir, "wdf17", lambda: scoring.window_df(wkeys)
+        )
+        return scoring.position_classes(wkeys, wdf, 2, 4)
+
+    return _shared(spark, sf_dir, "poscls17", build)
+
+
+def _sub_spans_df(spark, sf_dir):
+    spans = _sub_chains(spark, sf_dir)
     return spans.select(
         "conv_a", "conv_b",
         *[F.col(c).cast("long").alias(c)
@@ -620,18 +701,16 @@ def _scored_spans_df(spark, sf_dir):
     reference's length-weighted duplicated-kmer density + match bonus
     with coverage and positive-score predicates
     (alignment.py:256-282). Position classes come from JVM k=17 windows
-    so the DuckDB oracle can mirror them as string grams."""
-    from dedup_spark.operators import scoring, substring
+    so the DuckDB oracle can mirror them as string grams. Memoized —
+    span_scores / substring_best_match / interval_marks share it."""
+    from dedup_spark.operators import scoring
 
-    cfg = _sub_cfg()
-    t = _doc_transcripts(spark, sf_dir)
-    keys = substring.suffix_keys(t, cfg)
-    spans = substring.chain_anchors(
-        substring.anchor_matches(keys, cfg, convs=t), cfg
+    return _shared(
+        spark, sf_dir, "scored_spans",
+        lambda: scoring.score_spans(
+            _sub_chains(spark, sf_dir), _poscls17(spark, sf_dir), _sub_cfg()
+        ),
     )
-    wkeys = scoring.jvm_window_keys(t, K)
-    poscls = scoring.position_classes(wkeys, scoring.window_df(wkeys), 2, 4)
-    return scoring.score_spans(spans, poscls, cfg)
 
 
 def _q_span_scores(spark, sf_dir):
@@ -650,11 +729,7 @@ def _q_dnd_moving_average(spark, sf_dir):
     """Non-overlapping window mean of the per-position dnd classes —
     the A10 moving-average analog (reference contig.py:88-100, window
     mean of dnd_ratio for the per-contig plots), window = 100 positions."""
-    from dedup_spark.operators import scoring
-
-    t = _doc_transcripts(spark, sf_dir)
-    wkeys = scoring.jvm_window_keys(t, K)
-    poscls = scoring.position_classes(wkeys, scoring.window_df(wkeys), 2, 4)
+    poscls = _poscls17(spark, sf_dir)
     return (
         poscls.groupBy(
             F.col("conv_id").alias("doc_id"),
@@ -1080,16 +1155,34 @@ def _q_minhash_candidates(spark, sf_dir):
     from dedup_spark.operators import lsh, shingling
 
     cfg = DedupConfig(auto_df_band=True)
-    t = _transcripts(spark, sf_dir)
-    sets_df = shingling.shingle_sets(t, cfg)
+    # every expensive link in this chain is checkpoint-memoized: the
+    # shingle UDF (sets), the DF groupBy (sdf), and the signature UDF
+    # (bands) each run ONCE even though the histogram collect, the
+    # informative join, and the three-tier band self-join all scan their
+    # upstream multiple times (the round-2 bench showed this query
+    # re-running the UDF chain ≥3× — 40s for a 20s plan).
+    sets_df = _shared(
+        spark, sf_dir, "mh_sets",
+        lambda: shingling.shingle_sets(_transcripts(spark, sf_dir), cfg),
+    )
     exploded = shingling.exploded_shingles(sets_df)
-    sdf = shingling.shingle_document_frequency(exploded)
+    sdf = _shared(
+        spark, sf_dir, "mh_sdf",
+        lambda: shingling.shingle_document_frequency(exploded),
+    )
     hist = [(r["df"], r["n_shingles"]) for r in shingling.df_histogram(sdf).collect()]
     lo, hi = shingling.pick_df_band(hist, cfg)
-    informative = shingling.informative_shingle_sets(exploded, sdf, lo, hi)
-    sigs = lsh.compute_signatures(informative, cfg)
-    bands = lsh.explode_bands(sigs)
-    sizes = lsh.band_bucket_sizes(bands)
+    bands = _shared(
+        spark, sf_dir, "mh_bands",
+        lambda: lsh.explode_bands(
+            lsh.compute_signatures(
+                shingling.informative_shingle_sets(exploded, sdf, lo, hi), cfg
+            )
+        ),
+    )
+    sizes = _shared(
+        spark, sf_dir, "mh_sizes", lambda: lsh.band_bucket_sizes(bands)
+    )
     return lsh.candidate_pairs(bands, sizes, cfg)
 
 

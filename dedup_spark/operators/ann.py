@@ -95,8 +95,12 @@ def bucket_ids(
     b = emb.withColumn("tb", udf(F.col(vec_col))).select(
         "*", F.posexplode("tb").alias("table", "bucket0")
     ).drop("tb")
+    # clamp extra probes to the plane count: flipping a bit above
+    # n_planes would probe buckets no corpus vector can occupy —
+    # join fan-out with zero recall gain
+    n_flips = min(n_probes - 1, n_planes)
     probes = [F.col("bucket0")] + [
-        F.col("bucket0").bitwiseXOR(F.lit(1 << i)) for i in range(n_probes - 1)
+        F.col("bucket0").bitwiseXOR(F.lit(1 << i)) for i in range(n_flips)
     ]
     return b.withColumn("bucket", F.explode(F.array(*probes))).drop("bucket0")
 

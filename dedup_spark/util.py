@@ -4,10 +4,15 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
+# logical-plan node names that imply a shuffle (or explicit repartition)
+# below this point — such plans are already wide (shuffle width comes
+# from spark.sql.shuffle.partitions / AQE), so no extra repartition
+_WIDE_NODES = ("Aggregate", "Join", "Repartition", "Window", "Sort", "Distinct")
+
 
 def ensure_parallelism(df: DataFrame, factor: int = 2) -> DataFrame:
-    """Round-robin repartition up to ``factor × defaultParallelism`` when
-    the plan has fewer partitions.
+    """Round-robin repartition narrow FILE SCANS up to
+    ``factor × defaultParallelism``.
 
     Checkpointed stage tables are small on disk, so a parquet re-read
     often yields just a few input splits — a downstream stage that
@@ -16,8 +21,25 @@ def ensure_parallelism(df: DataFrame, factor: int = 2) -> DataFrame:
     cores the session has. On a real cluster big inputs already carry
     thousands of splits and this is a no-op (we never shrink); it only
     widens degenerate narrow inputs.
+
+    Width detection is driver-only metadata: the leaf file count
+    (``df.inputFiles()``) plus a logical-plan scan for shuffle nodes —
+    no ``df.rdd`` (which would materialize the plan to RDD outside AQE
+    and pay job planning per call). Plans that already contain a shuffle
+    are left alone: their width is the shuffle width, not the file count.
     """
-    target = df.sparkSession.sparkContext.defaultParallelism * factor
-    if df.rdd.getNumPartitions() < target:
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism * factor
+    try:
+        plan = df._jdf.queryExecution().logical().toString()
+    except Exception:  # noqa: BLE001 - fall back to widening
+        plan = ""
+    if any(node in plan for node in _WIDE_NODES):
+        return df
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:  # noqa: BLE001 - non-file source
+        n_files = 0
+    if 0 < n_files < target:
         return df.repartition(target)
     return df
