@@ -77,6 +77,12 @@ def run_once(cores: int, turns: str, tag: str = "") -> dict:
     report = f"/tmp/scalebench_{cores}{tag}.json"
     cmd = [
         "spark-submit", "--master", f"local[{cores}]", "--driver-memory", MEM[cores],
+        # shuffle/spill on tmpfs (same rationale as session.py's local-mode
+        # default — the sandbox block device is heavily throttled and
+        # serializes multi-core shuffle I/O; a cluster's NVMe scratch is
+        # the real-world analog). Must be a --conf here: spark.local.dir
+        # is read at JVM start, before get_spark() runs.
+        "--conf", "spark.local.dir=/dev/shm/spark-scratch",
         "--py-files", "/tmp/pkg/dedup_spark.zip",
         os.path.join(REPO, "run_pipeline.py"),
         "--turns", turns, "--warehouse", wh, "--report", report,
@@ -130,6 +136,7 @@ def raw_shuffle_speedup(n_lo: int, n_hi: int) -> float:
             .config("spark.ui.enabled", "false")
             .config("spark.sql.ansi.enabled", "false")
             .config("spark.sql.shuffle.partitions", str(4 * n))
+            .config("spark.local.dir", "/dev/shm/spark-scratch")
             .getOrCreate()
         )
         spark.range(1).count()

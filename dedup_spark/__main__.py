@@ -25,6 +25,19 @@ import sys
 import time
 
 
+def _parquet_rows(path: str) -> int:
+    """Row count from parquet footers — driver-local, no Spark job."""
+    import pyarrow.parquet as pq
+
+    if os.path.isdir(path):
+        return sum(
+            pq.read_metadata(os.path.join(path, f)).num_rows
+            for f in sorted(os.listdir(path))
+            if f.endswith(".parquet")
+        )
+    return pq.read_metadata(path).num_rows
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="dedup_spark")
     ap.add_argument("--turns", help="parquet path of the turns table")
@@ -63,17 +76,26 @@ def main(argv: list[str] | None = None) -> int:
             ).parquet(turns_path)
 
     turns = spark.read.parquet(turns_path)
+    pipe = DedupPipeline(spark, cfg, args.warehouse)
     t0 = time.monotonic()
-    res = DedupPipeline(spark, cfg, args.warehouse).run(turns)
-    n_turns = turns.count()
-    n_out = res.deduped_turns.count()
+    res = pipe.run(turns)
     wall = time.monotonic() - t0
+    # Every stage is already materialized on disk when run() returns, so
+    # the report reads row counts from the stage metrics (parquet footer
+    # stats — driver-local metadata, no Spark jobs). The ~5 post-run
+    # count() jobs this replaces were pure serial wall time: a constant
+    # Amdahl tax that dominated as core counts grew (scaling gate).
+    sm = {m.stage: m for m in pipe.catalog.metrics}
+    n_turns = _parquet_rows(turns_path)
+    # cluster count = components whose min-id member labels itself; one
+    # cheap job over the small checkpointed clusters table
+    n_clusters = res.clusters.filter("conv_id = cluster_id").count()
     report = {
         "n_turns_in": n_turns,
-        "n_turns_out": n_out,
-        "n_clusters": res.clusters.select("cluster_id").distinct().count(),
-        "n_verified_pairs": res.verified_pairs.count(),
-        "skewed_buckets": res.skew_report.count(),
+        "n_turns_out": sm["deduped_turns"].rows_out,
+        "n_clusters": n_clusters,
+        "n_verified_pairs": sm["verified_pairs"].rows_out,
+        "skewed_buckets": sm["skew_report"].rows_out,
         "df_band": list(res.df_band),
         "wall_sec": round(wall, 3),
         "turns_per_sec": round(n_turns / wall, 1),

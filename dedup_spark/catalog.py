@@ -38,6 +38,7 @@ import os
 import shutil
 import time
 from collections.abc import Callable
+from concurrent.futures import Future, ThreadPoolExecutor
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -69,6 +70,9 @@ class StageCatalog:
     table_format: str = "parquet"   # "parquet" | "iceberg"
     iceberg_namespace: str = "dedup"
     iceberg_catalog: str = "spark_catalog"
+    _pending: list[Future] = field(default_factory=list, repr=False)
+    _writer_pool: ThreadPoolExecutor | None = field(default=None, repr=False)
+    _live: dict[str, DataFrame] = field(default_factory=dict, repr=False)
 
     def __post_init__(self) -> None:
         if self.table_format not in ("parquet", "iceberg"):
@@ -158,32 +162,94 @@ class StageCatalog:
 
     def stage(self, name: str, build: Callable[[], DataFrame]) -> DataFrame:
         """Build-or-resume: skip ``build`` when a fingerprint-matching
-        checkpoint exists (the reference's resume contract, S10)."""
+        checkpoint exists (the reference's resume contract, S10).
+
+        Parquet backend is WRITE-THROUGH: the stage is materialized once
+        into executor block storage (``localCheckpoint``) and returned
+        immediately — downstream stages consume the in-memory blocks —
+        while the durable parquet write happens on a background writer
+        thread. The critical path pays only the compute job; the
+        encode+write+rename+re-read cycle that used to serialize every
+        stage (≈17 barriers of pure Amdahl tax per run) overlaps with
+        downstream work. ``flush()`` (called before run() returns)
+        guarantees every checkpoint is durable on disk, so the resume
+        contract is unchanged.
+        """
         t0 = time.monotonic()
+        if name in self._live:
+            # same-session re-request while (or after) the background
+            # write runs: serve the in-memory checkpoint — the metric for
+            # this stage lands exactly once, via the writer thread
+            return self._live[name]
         reused = self.exists(name)
         if reused:
             out = self.read(name)
-        else:
-            out = self.write(name, build())
+            if self.table_format == "iceberg":
+                rows, files = out.count(), out.rdd.getNumPartitions()
+            else:
+                rows, files = self._footer_stats(name)
+            self.metrics.append(
+                StageMetric(
+                    stage=name,
+                    rows_out=rows,
+                    wall_ms=int((time.monotonic() - t0) * 1000),
+                    partitions=files,
+                    reused=True,
+                )
+            )
+            return out
         if self.table_format == "iceberg":
+            out = self.write(name, build())
             rows, files = out.count(), out.rdd.getNumPartitions()
-        else:
-            rows, files = self._footer_stats(name)
+            self.metrics.append(
+                StageMetric(
+                    stage=name,
+                    rows_out=rows,
+                    wall_ms=int((time.monotonic() - t0) * 1000),
+                    partitions=files,
+                    reused=False,
+                )
+            )
+            return out
+        ckpt = build().localCheckpoint(eager=True)
+        wall_ms = int((time.monotonic() - t0) * 1000)
+        self._live[name] = ckpt
+        self._pending.append(
+            self._writer().submit(self._write_and_record, name, ckpt, wall_ms)
+        )
+        return ckpt
+
+    def _write_and_record(self, name: str, ckpt: DataFrame, wall_ms: int) -> None:
+        self.write(name, ckpt)
+        rows, files = self._footer_stats(name)
         self.metrics.append(
             StageMetric(
-                stage=name,
-                rows_out=rows,
-                wall_ms=int((time.monotonic() - t0) * 1000),
-                partitions=files,
-                reused=reused,
+                stage=name, rows_out=rows, wall_ms=wall_ms,
+                partitions=files, reused=False,
             )
         )
-        return out
+
+    def _writer(self) -> ThreadPoolExecutor:
+        if self._writer_pool is None:
+            self._writer_pool = ThreadPoolExecutor(
+                max_workers=2, thread_name_prefix="stage-writer"
+            )
+        return self._writer_pool
+
+    def flush(self) -> None:
+        """Wait for all background checkpoint writes; re-raise the first
+        failure. Must run before the pipeline returns — a stage is only
+        'checkpointed' once its parquet + fingerprint sidecar are durable."""
+        pending, self._pending = self._pending, []
+        for f in pending:
+            f.result()
 
     def invalidate(self, name: str) -> None:
+        self._live.pop(name, None)
         if self.table_format == "iceberg":
             self.spark.sql(f"DROP TABLE IF EXISTS {self._qualified(name)}")
             return
+        self.flush()  # a pending write must not resurrect the stage
         for p in (self._path(name), self._meta_path(name)):
             if os.path.isdir(p):
                 shutil.rmtree(p)
@@ -191,6 +257,7 @@ class StageCatalog:
                 os.remove(p)
 
     def metrics_df(self) -> DataFrame:
+        self.flush()  # metrics rows for write-through stages land on write
         rows = [
             (m.stage, m.rows_out, m.wall_ms, m.partitions, m.reused)
             for m in self.metrics

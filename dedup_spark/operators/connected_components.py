@@ -42,7 +42,7 @@ def connected_components(
         F.col("conv_id"), F.col("conv_id").alias("cluster_id")
     ).localCheckpoint(eager=True)
 
-    for _ in range(max_iters):
+    for it in range(max_iters):
         # label each dst with the (current) min label among its neighbors
         neighbor_min = (
             sym.join(labels, sym.src == labels.conv_id)
@@ -67,8 +67,12 @@ def connected_components(
             )
             .localCheckpoint(eager=True)
         )
-        changed = new_labels.filter(F.col("_changed")).limit(1).count()
         labels = new_labels.drop("_changed")
-        if changed == 0:
-            break
+        # probe convergence every 2nd iteration (and on the last): each
+        # probe is one driver-serial count job over the checkpointed
+        # labels — at worst one extra (idempotent) iteration runs, and
+        # the serial job count per run halves (Amdahl tax at high cores)
+        if it % 2 == 1 or it == max_iters - 1:
+            if new_labels.filter(F.col("_changed")).limit(1).count() == 0:
+                break
     return labels.select("conv_id", "cluster_id")

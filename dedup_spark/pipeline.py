@@ -70,15 +70,25 @@ class DedupPipeline:
     def run(self, turns: DataFrame) -> PipelineResult:
         cfg, cat = self.cfg, self.catalog
 
+        from concurrent.futures import ThreadPoolExecutor
+
+        # one pool for the whole DAG: the two main branches plus the
+        # off-critical-path stage writes (skew/anchor reports, deduped) —
+        # sized so no submitted task can wait behind a blocked waiter
+        pool = ThreadPoolExecutor(max_workers=6)
+
         transcripts = cat.stage("transcripts", lambda: assemble_transcripts(turns))
         sets_df = cat.stage("shingle_sets", lambda: shingling.shingle_sets(transcripts, cfg))
         exploded = shingling.exploded_shingles(sets_df)  # cheap view, not checkpointed
         shingle_df = cat.stage(
             "shingle_df", lambda: shingling.shingle_document_frequency(exploded)
         )
-        hist = cat.stage("df_histogram", lambda: shingling.df_histogram(shingle_df))
+        # histogram: collected directly off the checkpointed shingle_df —
+        # a separate checkpoint stage bought nothing (the collect is one
+        # cheap scan, and resume re-derives it from shingle_df anyway)
+        hist = shingling.df_histogram(shingle_df).collect()
         lo, hi = shingling.pick_df_band(
-            [(r["df"], r["n_shingles"]) for r in hist.collect()], cfg
+            [(r["df"], r["n_shingles"]) for r in hist], cfg
         )
         informative = cat.stage(
             "informative_sets",
@@ -87,9 +97,16 @@ class DedupPipeline:
         signatures = cat.stage(
             "signatures", lambda: lsh.compute_signatures(informative, cfg)
         )
-        bands = cat.stage("bands", lambda: lsh.explode_bands(signatures))
+        # bands stay a lazy projection of the signatures checkpoint (a
+        # posexplode re-run per consumer is cheaper than a dedicated
+        # write+rename+read checkpoint cycle on the serial driver path)
+        bands = lsh.explode_bands(signatures)
         bucket_sizes = cat.stage("bucket_sizes", lambda: lsh.band_bucket_sizes(bands))
-        skew = cat.stage("skew_report", lambda: lsh.skew_report(bucket_sizes, cfg))
+        # observability stage off the critical path: overlap its write
+        # with candidate generation
+        skew_f = pool.submit(
+            lambda: cat.stage("skew_report", lambda: lsh.skew_report(bucket_sizes, cfg))
+        )
         candidates = cat.stage(
             "candidate_pairs", lambda: lsh.candidate_pairs(bands, bucket_sizes, cfg)
         )
@@ -130,7 +147,11 @@ class DedupPipeline:
                     cfg.cc_max_iters,
                 ),
             )
-            deduped = cat.stage("deduped_turns", lambda: self._emit(turns, clusters))
+            # deduped and stats are independent given clusters — overlap
+            # their stage writes instead of serializing two more jobs
+            ded_f = pool.submit(
+                lambda: cat.stage("deduped_turns", lambda: self._emit(turns, clusters))
+            )
             stats = cat.stage(
                 "stats",
                 lambda: self._stats(
@@ -138,7 +159,7 @@ class DedupPipeline:
                     shingle_df, cfg,
                 ),
             )
-            return verified, clusters, deduped, stats
+            return verified, clusters, ded_f.result(), stats
 
         def branch_b():
             cand_convs = (
@@ -161,8 +182,11 @@ class DedupPipeline:
                 "key_occ_repeated",
                 lambda: substring.key_occurrence(skeys).filter(F.col("occ") > 1),
             )
-            anchor_skew = cat.stage(
-                "anchor_skew", lambda: substring.anchor_skew_report(key_occ, cfg)
+            # observability write overlapped with the anchor/chain work
+            anchor_f = pool.submit(
+                lambda: cat.stage(
+                    "anchor_skew", lambda: substring.anchor_skew_report(key_occ, cfg)
+                )
             )
             chains = cat.stage(
                 "substring_chains",
@@ -197,20 +221,22 @@ class DedupPipeline:
                 "interval_marks",
                 lambda: intervals.decide_intervals(best_spans, transcripts, cfg),
             )
-            return anchor_skew, spans, marks
+            return anchor_f.result(), spans, marks
 
-        from concurrent.futures import ThreadPoolExecutor
-
-        with ThreadPoolExecutor(max_workers=2) as pool:
+        try:
             fa = pool.submit(branch_a)
             fb = pool.submit(branch_b)
             verified, clusters, deduped, stats = fa.result()
             anchor_skew, spans, marks = fb.result()
+            skew = skew_f.result()
+        finally:
+            pool.shutdown(wait=True)
 
         merged = intervals.merge_intervals(marks)
         trimmed = cat.stage(
             "trimmed_turns", lambda: intervals.trim_turns(deduped, merged, cfg)
         )
+        cat.flush()  # every checkpoint durable before the run returns
 
         return PipelineResult(
             transcripts=transcripts,

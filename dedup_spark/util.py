@@ -36,6 +36,13 @@ def ensure_parallelism(df: DataFrame, factor: int = 2) -> DataFrame:
         plan = ""
     if any(node in plan for node in _WIDE_NODES):
         return df
+    if "ExistingRDD" in plan or "LogicalRDD" in plan:
+        # write-through checkpoint (localCheckpoint): the plan IS an
+        # already-materialized RDD, so getNumPartitions is a metadata
+        # read — no job, no AQE bypass concern
+        if df.rdd.getNumPartitions() < target:
+            return df.repartition(target)
+        return df
     try:
         n_files = len(df.inputFiles())
     except Exception:  # noqa: BLE001 - non-file source

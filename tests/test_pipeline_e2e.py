@@ -97,9 +97,12 @@ def test_candidate_pairs_canonical(result):
 def test_metrics_cover_all_stages(result):
     res, _ = result
     stages = {r.stage for r in res.metrics.collect()}
+    # (bands is deliberately NOT a stage anymore: it's a lazy posexplode
+    # projection of the signatures checkpoint — a dedicated write bought
+    # nothing but serial driver time)
     assert {
         "transcripts", "shingle_sets", "shingle_df", "informative_sets",
-        "signatures", "bands", "candidate_pairs", "verified_pairs",
+        "signatures", "candidate_pairs", "verified_pairs",
         "clusters", "deduped_turns", "substring_spans", "interval_marks",
         "trimmed_turns",
     } <= stages
