@@ -61,13 +61,24 @@ def generate_input(path: str, n_convs: int) -> None:
     turns_pdf, _, _ = generate_corpus(CorpusSpec(n_convs=n_convs))
     shutil.rmtree(path, ignore_errors=True)
     os.makedirs(path, exist_ok=True)
-    pq.write_table(
-        pa.Table.from_pandas(turns_pdf, preserve_index=False),
-        os.path.join(path, "part-0.parquet"),
-        # Spark's parquet reader rejects TIMESTAMP(NANOS)
-        coerce_timestamps="us",
-        allow_truncated_timestamps=True,
-    )
+    # 32 shards so the initial scan parallelizes at every core level —
+    # a single-file single-row-group input made the first stage a
+    # 1-task scan (pure serial tax the 100-TB analog, a many-file
+    # table, never pays)
+    n_shards = 32
+    tbl = pa.Table.from_pandas(turns_pdf, preserve_index=False)
+    step = (tbl.num_rows + n_shards - 1) // n_shards
+    for i in range(n_shards):
+        chunk = tbl.slice(i * step, step)
+        if chunk.num_rows == 0:
+            break
+        pq.write_table(
+            chunk,
+            os.path.join(path, f"part-{i:05d}.parquet"),
+            # Spark's parquet reader rejects TIMESTAMP(NANOS)
+            coerce_timestamps="us",
+            allow_truncated_timestamps=True,
+        )
     open(os.path.join(path, "_OK"), "w").close()
 
 

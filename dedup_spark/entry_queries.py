@@ -666,8 +666,10 @@ def _sub_chains(spark, sf_dir):
     def build():
         t = _doc_transcripts(spark, sf_dir)
         keys = substring.suffix_keys(t, cfg)
-        return substring.chain_anchors(
-            substring.anchor_matches(keys, cfg, convs=t), cfg
+        return substring.simplify_spans(
+            substring.chain_anchors(
+                substring.anchor_matches(keys, cfg, convs=t), cfg
+            )
         )
 
     return _shared(spark, sf_dir, "sub_chains", build)
@@ -776,7 +778,9 @@ _ANCHORS_SQL = f"""
 grams AS (
   SELECT doc_id AS conv_id, u.i AS pos, substr(text, cast(u.i AS int), {_SUB_W}) AS g
   FROM documents, unnest(range(1, len(text) - {_SUB_W} + 2)) AS u(i)
-  WHERE len(text) >= {_SUB_W}
+  -- len = strlen mirrors the Spark side's non-ASCII exclusion gate
+  -- (byte positions == char positions only on ASCII text)
+  WHERE len(text) >= {_SUB_W} AND len(text) = strlen(text)
 ),
 ok AS (
   SELECT g FROM grams GROUP BY g HAVING count(*) > 1 AND count(*) <= {_SUB_CAP}
@@ -805,8 +809,8 @@ chains AS (
                                  ROWS UNBOUNDED PRECEDING) AS chain_id
   FROM flagged
 ),
-spans AS (
-  SELECT conv_a, conv_b,
+spans_raw AS (
+  SELECT conv_a, conv_b, chain_id,
          min(a_pos) AS a_start, max(a_pos) + {_SUB_W - 1} AS a_end,
          min(b_pos) AS b_start, max(b_pos) + {_SUB_W - 1} AS b_end,
          count(*) AS n_anchors,
@@ -815,6 +819,20 @@ spans AS (
   FROM chains GROUP BY conv_a, conv_b, chain_id
   HAVING least(max(a_pos) + {_SUB_W - 1} - min(a_pos) + 1,
                (count(*) - 1) + {_SUB_W}) >= {_SUB_MIN}
+),
+-- PAF-simplify containment prune (alignment.py:374-396, J7): drop a
+-- span contained on BOTH axes in another span of the same pair;
+-- exact duplicates keep the lowest chain_id
+spans AS (
+  SELECT * FROM spans_raw s WHERE NOT EXISTS (
+    SELECT 1 FROM spans_raw t
+    WHERE t.conv_a = s.conv_a AND t.conv_b = s.conv_b
+      AND s.a_start >= t.a_start AND s.a_end <= t.a_end
+      AND s.b_start >= t.b_start AND s.b_end <= t.b_end
+      AND ((t.a_start, t.a_end, t.b_start, t.b_end)
+             <> (s.a_start, s.a_end, s.b_start, s.b_end)
+           OR t.chain_id < s.chain_id)
+  )
 )
 """
 )
@@ -842,7 +860,7 @@ chains AS (
                                  ROWS UNBOUNDED PRECEDING) AS chain_id
   FROM flagged
 ),
-spans_k AS (
+spans_k_raw AS (
   SELECT conv_a, conv_b, chain_id,
          min(a_pos) AS a_start, max(a_pos) + {_SUB_W - 1} AS a_end,
          min(b_pos) AS b_start, max(b_pos) + {_SUB_W - 1} AS b_end,
@@ -852,6 +870,18 @@ spans_k AS (
   FROM chains GROUP BY conv_a, conv_b, chain_id
   HAVING least(max(a_pos) + {_SUB_W - 1} - min(a_pos) + 1,
                (count(*) - 1) + {_SUB_W}) >= {_SUB_MIN}
+),
+-- PAF-simplify containment prune (alignment.py:374-396, J7)
+spans_k AS (
+  SELECT * FROM spans_k_raw s WHERE NOT EXISTS (
+    SELECT 1 FROM spans_k_raw t
+    WHERE t.conv_a = s.conv_a AND t.conv_b = s.conv_b
+      AND s.a_start >= t.a_start AND s.a_end <= t.a_end
+      AND s.b_start >= t.b_start AND s.b_end <= t.b_end
+      AND ((t.a_start, t.a_end, t.b_start, t.b_end)
+             <> (s.a_start, s.a_end, s.b_start, s.b_end)
+           OR t.chain_id < s.chain_id)
+  )
 )
 """
 )
@@ -860,7 +890,8 @@ _POSCLS_SQL = f"""
 grams17 AS (
   SELECT doc_id AS conv_id, u.i AS pos, substr(text, cast(u.i AS int), {K}) AS g
   FROM documents, unnest(range(1, len(text) - {K} + 2)) AS u(i)
-  WHERE len(text) >= {K}
+  -- len = strlen mirrors the Spark side's non-ASCII exclusion gate
+  WHERE len(text) >= {K} AND len(text) = strlen(text)
 ),
 gdf AS (SELECT g, count(DISTINCT conv_id) AS df FROM grams17 GROUP BY g),
 poscls AS (

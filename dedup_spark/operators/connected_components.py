@@ -17,21 +17,77 @@ lineage so plans don't grow unboundedly (the Iceberg-table-per-iteration
 variant swaps localCheckpoint for a catalog write). Convergence is
 O(diameter) iterations for hash-to-min; a max-iteration guard protects
 against pathological graphs.
+
+Hybrid endgame: dedup edge sets are tiny relative to the corpus (the
+pairs that survived LSH + exact verify), so when the edge count fits a
+driver budget the fixpoint collapses to one collect + union-find (path
+compression, C-speed dict ops) + one broadcast relabel join — replacing
+O(diameter) serial-jobs-per-run with a single job. The NODE table is
+never collected (at corpus scale it is huge while the edge set is not);
+isolated nodes keep their own label via the left join. Result is
+bit-identical to the loop (same components, same min-id labels), so the
+cutover is a pure physical-strategy choice — at 100 TB with a
+billion-edge graph the distributed loop runs instead.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+#: edges collected to the driver when the count is at or below this;
+#: ~32 bytes/edge of Python tuples → well under 1 GiB at the cap
+DRIVER_EDGE_LIMIT = 5_000_000
+
+
+def _unionfind_labels(nodes: DataFrame, edges: DataFrame) -> DataFrame:
+    """Driver union-find over a small edge set; returns the same
+    (conv_id, cluster_id) contract as the distributed loop."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in edges.select("conv_a", "conv_b").toLocalIterator():
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # attach the larger root under the smaller → the root IS the
+            # component min, matching the hash-to-min loop's labels
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+
+    rows = [(x, find(x)) for x in parent]
+    spark = nodes.sparkSession
+    id_type = nodes.schema["conv_id"].dataType.simpleString()
+    relabel = spark.createDataFrame(
+        rows or [], f"conv_id {id_type}, cluster_id {id_type}"
+    )
+    return nodes.select("conv_id").join(
+        F.broadcast(relabel), "conv_id", "left"
+    ).select(
+        "conv_id", F.coalesce("cluster_id", "conv_id").alias("cluster_id")
+    )
+
 
 def connected_components(
-    nodes: DataFrame, edges: DataFrame, max_iters: int = 50
+    nodes: DataFrame,
+    edges: DataFrame,
+    max_iters: int = 50,
+    driver_edge_limit: int = DRIVER_EDGE_LIMIT,
 ) -> DataFrame:
     """nodes(conv_id) + edges(conv_a, conv_b) → (conv_id, cluster_id).
 
     cluster_id = min conv_id in the component; isolated nodes label
     themselves.
     """
+    if driver_edge_limit > 0 and edges.limit(driver_edge_limit + 1).count() <= driver_edge_limit:
+        return _unionfind_labels(nodes, edges)
     sym = (
         edges.select(F.col("conv_a").alias("src"), F.col("conv_b").alias("dst"))
         .union(edges.select(F.col("conv_b").alias("src"), F.col("conv_a").alias("dst")))

@@ -49,9 +49,13 @@ def jvm_window_keys(transcripts: DataFrame, k: int) -> DataFrame:
     substring.suffix_keys (generator + projection in one codegen stage),
     and like it slices a BINARY copy — string substr is O(pos) char
     scanning, O(doc_len²) per doc over all windows. Byte positions ==
-    char positions on ASCII corpora."""
+    char positions only on ASCII text, so docs whose char/byte lengths
+    disagree are excluded (same gate + report contract as
+    substring.suffix_keys / substring.non_ascii_report)."""
     return (
-        transcripts.filter(F.length("doc") >= k)
+        transcripts.filter(
+            (F.length("doc") >= k) & (F.length("doc") == F.octet_length("doc"))
+        )
         .select("conv_id", F.encode("doc", "UTF-8").alias("b"))
         .select(
             "conv_id",

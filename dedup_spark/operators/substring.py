@@ -72,7 +72,16 @@ def suffix_keys(
     AQE re-splits, while production corpora should supply one of the
     first two."""
     w, stride = cfg.anchor_w, cfg.anchor_stride
-    docs = transcripts.filter(F.length("doc") >= w)
+    # Byte-position safety gate: every downstream consumer of these
+    # positions (span slicing, interval pct denominators, turn trimming)
+    # does CHAR arithmetic, which only coincides with these byte offsets
+    # when the doc is pure ASCII. Docs where the two disagree are
+    # EXCLUDED from the substring pass (they still flow through
+    # whole-conversation dedup, which is byte-exact) and surface via
+    # :func:`non_ascii_report` — excluded, never silently wrong.
+    docs = transcripts.filter(
+        (F.length("doc") >= w) & (F.length("doc") == F.octet_length("doc"))
+    )
     if cfg.suffix_parts is not None:
         n_parts = cfg.suffix_parts
     elif total_chars is not None:
@@ -132,6 +141,20 @@ def suffix_buckets(keys: DataFrame, cfg: DedupConfig) -> DataFrame:
                 F.slice("occs", 1, 0)  # type-preserving empty array
             ),
         )
+    )
+
+
+def non_ascii_report(transcripts: DataFrame) -> DataFrame:
+    """Conversations excluded from the substring pass because their char
+    and byte lengths disagree (non-ASCII text breaks the byte==char
+    position identity the pass relies on). Same observability contract
+    as the skew reports: excluded, never silent."""
+    return transcripts.filter(
+        F.length("doc") != F.octet_length("doc")
+    ).select(
+        "conv_id",
+        F.length("doc").alias("char_len"),
+        F.octet_length("doc").alias("byte_len"),
     )
 
 
@@ -343,6 +366,40 @@ def chain_anchors(anchors: DataFrame, cfg: DedupConfig) -> DataFrame:
     )
 
 
+def simplify_spans(spans: DataFrame) -> DataFrame:
+    """Explicit PAF-simplify containment prune (alignment.py:374-396,
+    SURVEY J7): drop a span when BOTH its a- and b-intervals are
+    contained in another span of the same pair.
+
+    The reference's greedy keep-loop is order-independent up to exact
+    duplicates (containment is transitive, so every non-maximal row is
+    contained in some maximal row, and maximal rows are always kept);
+    exact-duplicate groups keep their first row — here the lowest
+    chain_id, our deterministic analog of PAF row order. Relationally: a
+    per-pair self-join (span counts per pair are chain-bounded and tiny)
+    feeding a left-anti — an equi-shuffle on the pair key, scale-safe.
+    """
+    key = ["conv_a", "conv_b"]
+    t = spans.select(
+        *key,
+        F.col("chain_id").alias("t_chain"),
+        F.col("a_start").alias("t_as"), F.col("a_end").alias("t_ae"),
+        F.col("b_start").alias("t_bs"), F.col("b_end").alias("t_be"),
+    )
+    contained = (
+        (F.col("a_start") >= F.col("t_as")) & (F.col("a_end") <= F.col("t_ae"))
+        & (F.col("b_start") >= F.col("t_bs")) & (F.col("b_end") <= F.col("t_be"))
+    )
+    strictly_smaller = (
+        (F.col("a_start") != F.col("t_as")) | (F.col("a_end") != F.col("t_ae"))
+        | (F.col("b_start") != F.col("t_bs")) | (F.col("b_end") != F.col("t_be"))
+    )
+    dominated = spans.join(t, key).filter(
+        contained & (strictly_smaller | (F.col("t_chain") < F.col("chain_id")))
+    ).select(*key, "chain_id").dropDuplicates()
+    return spans.join(dominated, [*key, "chain_id"], "left_anti")
+
+
 def best_substring_match(spans: DataFrame) -> DataFrame:
     """Top-1 span per pair by score (alignment.py:99-102): ties broken by
     earliest a_start then b_start for determinism."""
@@ -362,4 +419,4 @@ def substring_matches(
     """End-to-end substring pass: transcripts → best span per pair."""
     keys = suffix_keys(transcripts, cfg)
     anchors = anchor_matches(keys, cfg, pairs, convs=transcripts)
-    return best_substring_match(chain_anchors(anchors, cfg))
+    return best_substring_match(simplify_spans(chain_anchors(anchors, cfg)))

@@ -58,6 +58,7 @@ class PipelineResult:
     interval_marks: DataFrame | None = None
     trimmed_turns: DataFrame | None = None
     anchor_skew: DataFrame | None = None
+    non_ascii: DataFrame | None = None
 
 
 class DedupPipeline:
@@ -147,19 +148,24 @@ class DedupPipeline:
                     cfg.cc_max_iters,
                 ),
             )
-            # deduped and stats are independent given clusters — overlap
-            # their stage writes instead of serializing two more jobs
+            # deduped and stats are independent given clusters — both go
+            # to the pool so branch A's thread releases the moment the
+            # cluster labels exist; stats (the heaviest off-path stage)
+            # overlaps with branch B's tail instead of extending the
+            # critical path, and is resolved only after trimmed_turns
             ded_f = pool.submit(
                 lambda: cat.stage("deduped_turns", lambda: self._emit(turns, clusters))
             )
-            stats = cat.stage(
-                "stats",
-                lambda: self._stats(
-                    transcripts, sets_df, signatures, clusters, exploded,
-                    shingle_df, cfg,
-                ),
+            stats_f = pool.submit(
+                lambda: cat.stage(
+                    "stats",
+                    lambda: self._stats(
+                        transcripts, sets_df, signatures, clusters, exploded,
+                        shingle_df, cfg,
+                    ),
+                )
             )
-            return verified, clusters, ded_f.result(), stats
+            return verified, clusters, ded_f, stats_f
 
         def branch_b():
             cand_convs = (
@@ -168,34 +174,56 @@ class DedupPipeline:
                 .distinct()
             )
             cand_transcripts = transcripts.join(cand_convs, "conv_id", "left_semi")
-            # one cheap column-pruned agg over the checkpointed
-            # transcripts parquet sizes the suffix explode
-            total_chars = (
-                cand_transcripts.agg(F.sum("doc_len")).collect()[0][0] or 0
-            )
-            skeys = substring.suffix_keys(
-                cand_transcripts, cfg, total_chars=total_chars
-            )
+
+            # The suffix explode is branch B's biggest subplan and has
+            # TWO consumers (key_occ, anchor_matches): materialize it
+            # once into block storage instead of re-exploding per
+            # consumer. Lazily — when both consumer stages resume from
+            # checkpoints, the explode never runs at all.
+            skeys_box: dict[str, DataFrame] = {}
+
+            def skeys_ck() -> DataFrame:
+                if "df" not in skeys_box:
+                    # cheap column-pruned agg over the checkpointed
+                    # transcripts sizes the suffix explode
+                    total_chars = (
+                        cand_transcripts.agg(F.sum("doc_len")).collect()[0][0] or 0
+                    )
+                    skeys_box["df"] = substring.suffix_keys(
+                        cand_transcripts, cfg, total_chars=total_chars
+                    ).localCheckpoint(eager=True)
+                return skeys_box["df"]
+
             # one aggregation pass over the suffix explode serves BOTH
             # the skew report and the anchor-pass key restriction
             key_occ = cat.stage(
                 "key_occ_repeated",
-                lambda: substring.key_occurrence(skeys).filter(F.col("occ") > 1),
+                lambda: substring.key_occurrence(skeys_ck()).filter(F.col("occ") > 1),
             )
-            # observability write overlapped with the anchor/chain work
+            # observability writes overlapped with the anchor/chain work
             anchor_f = pool.submit(
                 lambda: cat.stage(
                     "anchor_skew", lambda: substring.anchor_skew_report(key_occ, cfg)
                 )
             )
+            # conversations excluded from the byte-position substring
+            # pass (non-ASCII text) — excluded, never silent
+            nonascii_f = pool.submit(
+                lambda: cat.stage(
+                    "non_ascii_report",
+                    lambda: substring.non_ascii_report(cand_transcripts),
+                )
+            )
             chains = cat.stage(
                 "substring_chains",
-                lambda: substring.chain_anchors(
-                    substring.anchor_matches(
-                        skeys, cfg, pairs=candidates, convs=cand_transcripts,
-                        key_occ=key_occ,
-                    ),
-                    cfg,
+                lambda: substring.simplify_spans(
+                    substring.chain_anchors(
+                        substring.anchor_matches(
+                            skeys_ck(), cfg, pairs=candidates,
+                            convs=cand_transcripts, key_occ=key_occ,
+                        ),
+                        cfg,
+                    )
                 ),
             )
             # dnd position classes restricted to the spans' own char
@@ -221,21 +249,23 @@ class DedupPipeline:
                 "interval_marks",
                 lambda: intervals.decide_intervals(best_spans, transcripts, cfg),
             )
-            return anchor_f.result(), spans, marks
+            return anchor_f.result(), nonascii_f.result(), spans, marks
 
         try:
             fa = pool.submit(branch_a)
             fb = pool.submit(branch_b)
-            verified, clusters, deduped, stats = fa.result()
-            anchor_skew, spans, marks = fb.result()
+            verified, clusters, ded_f, stats_f = fa.result()
+            anchor_skew, non_ascii, spans, marks = fb.result()
+
+            merged = intervals.merge_intervals(marks)
+            deduped = ded_f.result()
+            trimmed = cat.stage(
+                "trimmed_turns", lambda: intervals.trim_turns(deduped, merged, cfg)
+            )
+            stats = stats_f.result()
             skew = skew_f.result()
         finally:
             pool.shutdown(wait=True)
-
-        merged = intervals.merge_intervals(marks)
-        trimmed = cat.stage(
-            "trimmed_turns", lambda: intervals.trim_turns(deduped, merged, cfg)
-        )
         cat.flush()  # every checkpoint durable before the run returns
 
         return PipelineResult(
@@ -253,6 +283,7 @@ class DedupPipeline:
             interval_marks=marks,
             trimmed_turns=trimmed,
             anchor_skew=anchor_skew,
+            non_ascii=non_ascii,
         )
 
     @staticmethod

@@ -37,7 +37,19 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        # doc-level UDF rows are small (ids + hashes); 10k-row Arrow
+        # batches amortize the per-batch Python crossing without memory
+        # pressure (2048 measurably added task time at every core count)
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # the two pipeline branches submit jobs concurrently; FAIR keeps
+        # a wide stage of one branch from head-of-line-blocking the
+        # other's short stages (measured ~5% wall at local[4])
+        .config("spark.scheduler.mode", "FAIR")
+        # constraint propagation is O(plan²) analysis time on our wide
+        # exploded/aliased plans and buys nothing here (filters are
+        # explicit); disabling it cut several seconds of between-job
+        # driver stalls per run — pure serial Amdahl tax at high cores
+        .config("spark.sql.constraintPropagation.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
@@ -54,8 +66,11 @@ def get_spark(
         .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", str(1 << 19))
         # High initial shuffle width; AQE coalesces every exchange down to
         # advisory-sized partitions, so wide aggs get parallelism while
-        # small shuffles still collapse to a few tasks.
-        .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "512")
+        # small shuffles still collapse to a few tasks. 128 covers local
+        # parallelism with headroom; cluster deploys override via submit
+        # conf (512 at >1TB inputs — width per map task is a real cost,
+        # so don't overshoot by default).
+        .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "128")
     )
     # Shuffle/spill on tmpfs when available: the sandbox's block device is
     # heavily throttled, which turns shuffle-heavy stages I/O-bound and

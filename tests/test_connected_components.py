@@ -1,6 +1,9 @@
 """Hash-to-min connected components on hand-built graphs
 (FIXTURES.md §3 CC graphs: chain, star, two components, singleton,
-self-loop)."""
+self-loop). Every graph runs through BOTH physical strategies — the
+driver union-find endgame (default for small edge sets) and the
+distributed hash-to-min loop (forced via driver_edge_limit=0) — and
+must produce identical labels."""
 
 from dedup_spark.operators.connected_components import connected_components
 
@@ -10,8 +13,16 @@ def _run(spark, nodes, edges, max_iters=50):
     e = spark.createDataFrame(edges or [("zzz", "zzz")], "conv_a string, conv_b string")
     if not edges:
         e = e.limit(0)
-    out = connected_components(n, e, max_iters)
-    return {r.conv_id: r.cluster_id for r in out.collect()}
+    by_unionfind = {
+        r.conv_id: r.cluster_id
+        for r in connected_components(n, e, max_iters).collect()
+    }
+    by_loop = {
+        r.conv_id: r.cluster_id
+        for r in connected_components(n, e, max_iters, driver_edge_limit=0).collect()
+    }
+    assert by_unionfind == by_loop
+    return by_unionfind
 
 
 def test_chain(spark):

@@ -49,6 +49,20 @@ class TestSuffixKeys:
         df = _docs_df(spark, {"a": "short"})
         assert substring.suffix_keys(df, CFG).count() == 0
 
+    def test_non_ascii_doc_excluded_and_reported(self, spark):
+        """Byte-position safety gate: a doc whose char/byte lengths
+        disagree is excluded from the suffix pass (its byte offsets
+        would silently desync from downstream char arithmetic) and
+        surfaces in non_ascii_report; pure-ASCII docs are unaffected."""
+        docs = {"ascii": "abcdefghij", "uni": "cafécafécafé"}
+        df = _docs_df(spark, docs)
+        keyed = {r["conv_id"] for r in substring.suffix_keys(df, CFG).collect()}
+        assert keyed == {"ascii"}
+        rep = substring.non_ascii_report(df).collect()
+        assert [(r["conv_id"], r["char_len"] < r["byte_len"]) for r in rep] == [
+            ("uni", True)
+        ]
+
 
 class TestAnchorsAndChaining:
     def test_planted_substring_found(self, spark):
@@ -184,6 +198,47 @@ class TestPlantedTruth:
             assert hit, (planted, sorted(
                 (s["a_start"], s["a_end"], s["b_start"], s["b_end"]) for s in spans
             ))
+
+
+class TestSimplifySpans:
+    """Explicit PAF-simplify containment prune (alignment.py:374-396,
+    J7): only spans contained on BOTH axes are dropped; exact duplicates
+    keep the lowest chain_id."""
+
+    def _spans(self, spark, rows):
+        return spark.createDataFrame(
+            rows,
+            "conv_a string, conv_b string, chain_id long, a_start int, "
+            "a_end int, b_start int, b_end int",
+        )
+
+    def test_nested_dropped_partial_kept(self, spark):
+        rows = [
+            ("a", "b", 1, 100, 300, 50, 250),   # container — kept
+            ("a", "b", 2, 150, 200, 80, 130),   # nested both axes — dropped
+            ("a", "b", 3, 150, 200, 400, 450),  # nested on a only — kept
+            ("a", "c", 1, 150, 200, 80, 130),   # other pair — kept
+        ]
+        out = substring.simplify_spans(self._spans(spark, rows)).collect()
+        got = {(r.conv_a, r.conv_b, r.chain_id) for r in out}
+        assert got == {("a", "b", 1), ("a", "b", 3), ("a", "c", 1)}
+
+    def test_exact_duplicates_keep_first(self, spark):
+        rows = [
+            ("a", "b", 5, 10, 60, 10, 60),
+            ("a", "b", 2, 10, 60, 10, 60),
+        ]
+        out = substring.simplify_spans(self._spans(spark, rows)).collect()
+        assert [(r.chain_id) for r in out] == [2]
+
+    def test_transitive_nesting(self, spark):
+        rows = [
+            ("a", "b", 1, 1, 500, 1, 500),
+            ("a", "b", 2, 50, 300, 50, 300),
+            ("a", "b", 3, 100, 200, 100, 200),
+        ]
+        out = substring.simplify_spans(self._spans(spark, rows)).collect()
+        assert [(r.chain_id) for r in out] == [1]
 
 
 class TestIntervalDecision:
