@@ -50,6 +50,11 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--df-band-mode", default="manual",
                     choices=["manual", "tail", "fit", "fit_or_tail"],
                     help="informative-DF band selection (spectrum-fit analog)")
+    ap.add_argument("--anchor-sample-mod", type=int, default=4,
+                    help="content-hash anchor sampling period for the "
+                         "substring pass (1 = every position; default 4 "
+                         "≈ minimap2's minimizer density — see "
+                         "DedupConfig.anchor_sample_mod)")
     ap.add_argument("--report", help="write a one-line JSON run report here")
     args = ap.parse_args(argv)
 
@@ -61,6 +66,7 @@ def main(argv: list[str] | None = None) -> int:
         shingle_k=args.shingle_k,
         auto_df_band=args.auto_df_band,
         df_band_mode=args.df_band_mode,
+        anchor_sample_mod=args.anchor_sample_mod,
     )
     spark = get_spark(master=args.master, app_name="dedup_spark_cli")
 
@@ -77,6 +83,10 @@ def main(argv: list[str] | None = None) -> int:
 
     turns = spark.read.parquet(turns_path)
     pipe = DedupPipeline(spark, cfg, args.warehouse)
+    # Untimed warmup: the first action in a fresh session pays executor
+    # init + first-codegen latency that is cluster startup, not pipeline
+    # throughput (same rationale as bench.py's warmup).
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
     t0 = time.monotonic()
     res = pipe.run(turns)
     wall = time.monotonic() - t0

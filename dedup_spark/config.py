@@ -70,6 +70,19 @@ class DedupConfig:
                                       # keys — the seed length analog of
                                       # minimap2's minimizer window
     anchor_stride: int = 1            # sample every Nth suffix (1 = exact)
+    anchor_sample_mod: int = 1        # content-hash anchor sampling: keep a
+                                      # suffix key iff pmod(key, mod) == 0
+                                      # (1 = dense). The minimizer-seeding
+                                      # analog of the reference's minimap2
+                                      # (dedup.py:424-434 shells out to
+                                      # minimap2, itself minimizer-sampled):
+                                      # both docs select the SAME positions
+                                      # inside shared content, so a shared
+                                      # span of length L is seeded with
+                                      # P = 1-(1-1/mod)^(L-anchor_w+1) and
+                                      # anchor volume drops ×mod. Stays in
+                                      # the explode's codegen stage — no
+                                      # extra shuffle, no extra hashing.
     max_anchor_occ: int = 64          # corpus-wide occurrence cap per suffix
                                       # key (skew guard; capped keys reported)
     min_span_len: int = 50            # chained-span report floor (chars)

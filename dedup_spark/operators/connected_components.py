@@ -52,7 +52,11 @@ def _unionfind_labels(nodes: DataFrame, edges: DataFrame) -> DataFrame:
             parent[x], x = r, parent[x]
         return r
 
-    for a, b in edges.select("conv_a", "conv_b").toLocalIterator():
+    # Arrow-batched collect: one job, columnar transfer — toLocalIterator
+    # ran one job per partition plus a driver socket server (several
+    # seconds of pure serial floor per run even on tiny edge sets)
+    edges_pdf = edges.select("conv_a", "conv_b").toPandas()
+    for a, b in zip(edges_pdf["conv_a"].to_numpy(), edges_pdf["conv_b"].to_numpy()):
         parent.setdefault(a, a)
         parent.setdefault(b, b)
         ra, rb = find(a), find(b)

@@ -216,3 +216,35 @@ def informative_shingle_sets(
         .agg(F.array_sort(F.collect_list("shingle")).alias("shingles"))
         .withColumn("n_shingles", F.size("shingles"))
     )
+
+
+def informative_and_repeated(
+    exploded: DataFrame, shingle_df: DataFrame, lo: int, hi: int
+) -> DataFrame:
+    """:func:`informative_shingle_sets` fused with the per-conv repeated
+    (df >= 2) shingle count the stats sink needs (A5/X3,
+    reference dedup.py:418-422): ONE join against the exploded table
+    serves both consumers — the stats pass used to re-join the (huge)
+    exploded table against the df >= 2 subset separately, a second full
+    shuffle for numbers this aggregation already sees.
+
+    Output: (conv_id, shingles [informative, sorted], n_shingles,
+    n_repeated). Conversations whose every shingle is unique (df == 1)
+    vanish here, exactly like informative_shingle_sets (empty-set guard
+    analog); their n_repeated is 0 by definition, so downstream left
+    joins + coalesce(0) reconstruct them losslessly.
+    """
+    rep = shingle_df.filter(F.col("df") >= 2)
+    band = F.col("df").between(F.lit(lo), F.lit(hi))
+    return (
+        exploded.join(rep.select("shingle", "df"), "shingle")
+        .groupBy("conv_id")
+        .agg(
+            # collect_list skips nulls → only band shingles land in the set
+            F.array_sort(
+                F.collect_list(F.when(band, F.col("shingle")))
+            ).alias("shingles"),
+            F.count(F.lit(1)).alias("n_repeated"),
+        )
+        .withColumn("n_shingles", F.size("shingles"))
+    )

@@ -98,7 +98,7 @@ def suffix_keys(
     # O(w) slice. Positions are byte offsets (== char offsets on the
     # ASCII corpora this engine targets; the reference's DNA input is
     # ASCII too).
-    return (
+    out = (
         docs.repartition(n_parts)
         .select("conv_id", F.encode("doc", "UTF-8").alias("b"))
         .select(
@@ -110,6 +110,15 @@ def suffix_keys(
         )
         .select("conv_id", "pos", F.expr(f"xxhash64(substring(b, pos, {w}))").alias("key"))
     )
+    # Content-hash anchor sampling (cfg.anchor_sample_mod > 1): both docs
+    # keep the same positions inside shared content because the predicate
+    # depends only on the window's own hash, so sampling thins anchors
+    # ×mod without desynchronizing the two sides (minimap2's minimizer
+    # seeding analog — see DedupConfig.anchor_sample_mod). The filter
+    # fuses into the same whole-stage-codegen stage as the explode.
+    if cfg.anchor_sample_mod > 1:
+        out = out.filter(F.pmod(F.col("key"), F.lit(cfg.anchor_sample_mod)) == 0)
+    return out
 
 
 def key_occurrence(keys: DataFrame) -> DataFrame:
@@ -171,24 +180,24 @@ def anchor_matches(
     convs: DataFrame | None = None,
     key_occ: DataFrame | None = None,
 ) -> DataFrame:
-    """Sorted suffix-array pass → (conv_a, conv_b, a_pos, b_pos), conv_a
-    < conv_b (canonical order, reference dedup.py:373-376).
+    """Suffix-key equi-self-join → (conv_a, conv_b, a_pos, b_pos),
+    conv_a < conv_b (canonical order, reference dedup.py:373-376).
 
-    The distributed suffix-array formulation, entirely JVM-side: hash-
-    partition the suffix keys so equal keys co-locate and sort each
-    partition once (Spark's spill-safe external sort); a bounded window
-    frame then pairs every suffix with its ≤ max_anchor_occ predecessors
-    in the same equal-key run (``collect_list OVER (PARTITION BY key
-    ORDER BY cid, pos ROWS cap PRECEDING)`` + explode), which enumerates
-    exactly the unordered occurrence pairs of each run. Runs longer than
-    the cap are excluded via a same-partitioning count window (skew
-    guard — surface them with key_occurrence + anchor_skew_report).
+    The pair expansion is a plain shuffle-hash self-join on the suffix
+    key, restricted to repeated-but-capped keys: a hash join stays in
+    whole-stage codegen end to end — no sort, no per-row array
+    construction — and the occurrence cap bounds per-key fan-out at
+    cap² (skew guard — surface excluded keys with key_occurrence +
+    anchor_skew_report).
 
-    This shape was chosen over two measured dead ends at 10^8 windows:
-    a collect_list groupBy (ObjectHashAggregate either sort-falls-back
-    or OOMs depending on the group-count/threshold trade) and a
-    mapInPandas scan (Arrow re-batching + per-batch Python overhead
-    dominated at production batch sizes).
+    This shape was chosen over three measured dead ends: a collect_list
+    groupBy (ObjectHashAggregate either sort-falls-back or OOMs
+    depending on the group-count/threshold trade), a mapInPandas scan
+    (Arrow re-batching + per-batch Python overhead dominated at
+    production batch sizes), and a bounded window frame
+    (``collect_list OVER (PARTITION BY key ORDER BY cid, pos ROWS cap
+    PRECEDING)`` + explode — the per-row array allocation churn made it
+    2.2× slower than the join at 20M suffix rows, bit-identical output).
 
     The pass runs on an xxhash64 surrogate of conv_id (8-byte fixed
     keys shuffle/sort faster than strings); real ids join back onto the
@@ -222,19 +231,15 @@ def anchor_matches(
     ok_keys = occ.filter((F.col("occ") > 1) & (F.col("occ") <= cap)).select("key")
     survivors = num_keys.join(ok_keys.hint("shuffle_hash"), "key")
 
-    w_pred = W.partitionBy("key").orderBy("cid", "pos").rowsBetween(-cap, -1)
-    expanded = (
-        survivors
-        .withColumn("preds", F.collect_list(F.struct("cid", "pos")).over(w_pred))
-        .select("cid", "pos", F.explode("preds").alias("p"))
-        .filter(F.col("p.cid") != F.col("cid"))
-    )
-    swap = F.col("p.cid") > F.col("cid")
-    hashed = expanded.select(
-        F.when(swap, F.col("cid")).otherwise(F.col("p.cid")).alias("cid_a"),
-        F.when(swap, F.col("p.cid")).otherwise(F.col("cid")).alias("cid_b"),
-        F.when(swap, F.col("pos")).otherwise(F.col("p.pos")).alias("a_pos"),
-        F.when(swap, F.col("p.pos")).otherwise(F.col("pos")).alias("b_pos"),
+    lhs = survivors.select("key", F.col("cid").alias("cid_a"), F.col("pos").alias("a_pos"))
+    rhs = survivors.select("key", F.col("cid").alias("cid_b"), F.col("pos").alias("b_pos"))
+    # cid_a < cid_b enumerates each unordered cross-conv occurrence pair
+    # exactly once (the surrogate hash order is arbitrary but consistent;
+    # canonical real-id orientation is restored after decoding below)
+    hashed = (
+        lhs.join(rhs.hint("shuffle_hash"), "key")
+        .filter(F.col("cid_a") < F.col("cid_b"))
+        .drop("key")
     )
 
     # decode surrogates → real ids; restore canonical order on real ids
@@ -318,11 +323,13 @@ def chain_anchors(anchors: DataFrame, cfg: DedupConfig) -> DataFrame:
 
     Span score = estimated matched chars: each anchor certifies w
     matching chars, consecutive in-chain anchors overlap by
-    (w − step), so matched ≈ min(span_len, n·stride + w − stride),
-    weighted analog of the reference's match bonus
-    (alignment.py:342-343, match_weight).
+    (w − step), so matched ≈ min(span_len, n·step + w − step) with
+    step the expected anchor spacing (anchor_stride, ×anchor_sample_mod
+    when content-hash sampling is on) — weighted analog of the
+    reference's match bonus (alignment.py:342-343, match_weight).
     """
     w = cfg.anchor_w
+    step = cfg.anchor_stride * max(1, cfg.anchor_sample_mod)
     win = W.partitionBy("conv_a", "conv_b").orderBy("a_pos", "b_pos")
     prev_a = F.lag("a_pos").over(win)
     prev_b = F.lag("b_pos").over(win)
@@ -349,7 +356,7 @@ def chain_anchors(anchors: DataFrame, cfg: DedupConfig) -> DataFrame:
             "matched",
             F.least(
                 F.col("a_end") - F.col("a_start") + 1,
-                (F.col("n_anchors") - 1) * cfg.anchor_stride + w,
+                (F.col("n_anchors") - 1) * step + w,
             ),
         )
         .withColumn("score", F.col("matched"))

@@ -91,9 +91,12 @@ class DedupPipeline:
         lo, hi = shingling.pick_df_band(
             [(r["df"], r["n_shingles"]) for r in hist], cfg
         )
+        # fused: the per-conv repeated (df>=2) count for the stats sink
+        # rides the SAME exploded⋈df join that builds the informative
+        # sets — the stats pass used to pay a second full shuffle for it
         informative = cat.stage(
             "informative_sets",
-            lambda: shingling.informative_shingle_sets(exploded, shingle_df, lo, hi),
+            lambda: shingling.informative_and_repeated(exploded, shingle_df, lo, hi),
         )
         signatures = cat.stage(
             "signatures", lambda: lsh.compute_signatures(informative, cfg)
@@ -160,8 +163,8 @@ class DedupPipeline:
                 lambda: cat.stage(
                     "stats",
                     lambda: self._stats(
-                        transcripts, sets_df, signatures, clusters, exploded,
-                        shingle_df, cfg,
+                        transcripts, sets_df, signatures, clusters,
+                        informative, cfg,
                     ),
                 )
             )
@@ -252,10 +255,17 @@ class DedupPipeline:
             return anchor_f.result(), nonascii_f.result(), spans, marks
 
         try:
-            fa = pool.submit(branch_a)
-            fb = pool.submit(branch_b)
-            verified, clusters, ded_f, stats_f = fa.result()
-            anchor_skew, non_ascii, spans, marks = fb.result()
+            # SPARK_GRAFT_SERIAL_BRANCHES=1 runs the two branches one
+            # after the other (perf-triage knob; sub-futures still use
+            # the pool, so no deadlock)
+            if os.environ.get("SPARK_GRAFT_SERIAL_BRANCHES") == "1":
+                verified, clusters, ded_f, stats_f = branch_a()
+                anchor_skew, non_ascii, spans, marks = branch_b()
+            else:
+                fa = pool.submit(branch_a)
+                fb = pool.submit(branch_b)
+                verified, clusters, ded_f, stats_f = fa.result()
+                anchor_skew, non_ascii, spans, marks = fb.result()
 
             merged = intervals.merge_intervals(marks)
             deduped = ded_f.result()
@@ -303,8 +313,7 @@ class DedupPipeline:
         sets_df: DataFrame,
         signatures: DataFrame,
         clusters: DataFrame,
-        exploded: DataFrame,
-        shingle_df: DataFrame,
+        informative: DataFrame,
         cfg: DedupConfig,
     ) -> DataFrame:
         """Per-conversation stats (analog of {prefix}_stats.csv +
@@ -316,20 +325,14 @@ class DedupPipeline:
           split (A5; set semantics — per-conv shingle sets are distinct).
           ``n_shingles`` on signatures IS the dup count already (the
           informative set), and the df == 1 count is the complement of
-          the conv's df >= 2 count — joining the (small) repeated-shingle
-          subset instead of the (huge) unique-shingle subset keeps the
-          exploded table map-side under AQE broadcast.
+          the conv's df >= 2 count, which rides the informative stage
+          (shingling.informative_and_repeated) — no extra scan of the
+          exploded table.
         * removal ratios with the reference's 1e-6 epsilon
           (dedup.py:183-186, X3): under whole-conversation dedup a
           non-representative conv removes ALL its shingles.
         """
-        repeated = (
-            exploded.join(
-                shingle_df.filter(F.col("df") >= 2).select("shingle"), "shingle"
-            )
-            .groupBy("conv_id")
-            .agg(F.count(F.lit(1)).alias("n_repeated"))
-        )
+        repeated = informative.select("conv_id", "n_repeated")
         e = F.lit(cfg.stats_epsilon)
         base = (
             transcripts.select("conv_id", "n_turns", "doc_len")

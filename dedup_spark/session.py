@@ -32,7 +32,7 @@ def get_spark(
         builder = builder.master(master)
     builder = (
         builder
-        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.enabled", os.environ.get("SPARK_GRAFT_AQE", "true"))
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
@@ -44,7 +44,7 @@ def get_spark(
         # the two pipeline branches submit jobs concurrently; FAIR keeps
         # a wide stage of one branch from head-of-line-blocking the
         # other's short stages (measured ~5% wall at local[4])
-        .config("spark.scheduler.mode", "FAIR")
+        .config("spark.scheduler.mode", os.environ.get("SPARK_GRAFT_SCHEDULER", "FAIR"))
         # constraint propagation is O(plan²) analysis time on our wide
         # exploded/aliased plans and buys nothing here (filters are
         # explicit); disabling it cut several seconds of between-job
@@ -70,7 +70,10 @@ def get_spark(
         # parallelism with headroom; cluster deploys override via submit
         # conf (512 at >1TB inputs — width per map task is a real cost,
         # so don't overshoot by default).
-        .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "128")
+        .config(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+            os.environ.get("SPARK_GRAFT_INITIAL_PARTS", "128"),
+        )
     )
     # Shuffle/spill on tmpfs when available: the sandbox's block device is
     # heavily throttled, which turns shuffle-heavy stages I/O-bound and

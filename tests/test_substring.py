@@ -158,6 +158,65 @@ class TestAnchorsAndChaining:
         assert abs(r["matched"] - truth) <= CFG.anchor_w
 
 
+class TestAnchorSampling:
+    """Content-hash anchor sampling (anchor_sample_mod > 1) — the
+    minimizer-seeding analog of the reference's minimap2 pass
+    (dedup.py:424-434): volume drops ×mod while planted spans are
+    still recovered, because both docs select the SAME positions
+    inside shared content."""
+
+    MOD_CFG = DedupConfig(
+        anchor_w=8, min_span_len=20, max_gap=50, end_buffer=30,
+        min_doc_len=0, anchor_sample_mod=4,
+    )
+
+    def test_volume_reduced(self, spark):
+        rng = np.random.Generator(np.random.PCG64(21))
+        docs = _docs_df(spark, {"a": _rand_text(rng, 4000)})
+        dense = substring.suffix_keys(docs, CFG).count()
+        sampled = substring.suffix_keys(docs, self.MOD_CFG).count()
+        # hash-uniform: expect dense/4, allow wide slack
+        assert dense * 0.15 <= sampled <= dense * 0.35
+
+    def test_sampling_is_content_determined(self, spark):
+        """The same shared substring selects the same keys in both docs
+        regardless of its position, so sampled anchors never desync."""
+        rng = np.random.Generator(np.random.PCG64(22))
+        shared = _rand_text(rng, 200)
+        a = _rand_text(rng, 97) + shared + _rand_text(rng, 50)
+        b = _rand_text(rng, 13) + shared
+        rows = substring.suffix_keys(
+            _docs_df(spark, {"a": a, "b": b}), self.MOD_CFG
+        ).collect()
+        w = self.MOD_CFG.anchor_w
+        sel_a = {r["pos"] - 98 for r in rows if r["conv_id"] == "a"
+                 if 98 <= r["pos"] <= 97 + len(shared) - w + 1}
+        sel_b = {r["pos"] - 14 for r in rows if r["conv_id"] == "b"
+                 if 14 <= r["pos"] <= 13 + len(shared) - w + 1}
+        assert sel_a == sel_b and len(sel_a) > 0
+
+    def test_planted_span_recovered_sampled(self, spark):
+        rng = np.random.Generator(np.random.PCG64(23))
+        shared = _rand_text(rng, 300)
+        a = _rand_text(rng, 150) + shared + _rand_text(rng, 100)
+        b = _rand_text(rng, 40) + shared + _rand_text(rng, 200)
+        best = substring.substring_matches(
+            _docs_df(spark, {"a": a, "b": b}), self.MOD_CFG
+        ).collect()
+        assert len(best) == 1
+        r = best[0]
+        # boundary slack: mean anchor spacing is mod, so allow a few
+        # spacings of shrink at each end plus the anchor width
+        slack = self.MOD_CFG.anchor_w + 4 * self.MOD_CFG.anchor_sample_mod
+        assert abs(r["a_start"] - 151) <= slack
+        assert abs(r["a_end"] - 450) <= slack
+        assert abs(r["b_start"] - 41) <= slack
+        # `matched` is the conservative (n-1)*step+w estimate; with
+        # hash sampling the realized spacing fluctuates around mod, so
+        # allow twice the boundary slack
+        assert r["matched"] >= 300 - 2 * slack
+
+
 class TestPlantedTruth:
     """Algorithm-independent ground truth: spans are planted by
     construction (not mirrored SQL), and every planted span must be
