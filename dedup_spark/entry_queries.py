@@ -158,9 +158,16 @@ def _shingle_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     def build():
         docs = _read(spark, sf_dir, "documents")
+        # tokens kept as xxhash64 longs: the exact verify only needs
+        # SIZES of intersections, and long-array intersection beats
+        # string-array intersection several-fold (hash equality ⇔ token
+        # equality — a count-changing collision needs two distinct
+        # tokens of one pair to collide, P < 1e-8 corpus-wide)
         return docs.select(
             "doc_id", "lang", "source",
-            F.array_distinct(F.split("text", " ")).alias("toks"),
+            F.array_distinct(
+                F.transform(F.split("text", " "), lambda t: F.xxhash64(t))
+            ).alias("toks"),
         ).withColumn("n_toks", F.size("toks"))
 
     # memoized: scanned twice per verify self-join, reused by cc_clusters
@@ -1259,6 +1266,83 @@ def _q_containment_candidates(spark, sf_dir):
     return lsh.containment_candidates(sigs, cfg)
 
 
+# --- oracle-checkable algorithmic twins of the hash kernels ---
+#
+# The production MinHash/SimHash kernels (functions/hashing.py) are
+# vectorized numpy and not expressible in DuckDB, so their queries are
+# rows-only. These twins run the SAME algorithms over an md5-derived
+# 32-bit token hash that BOTH engines compute identically (Spark
+# conv(hex)≡DuckDB '0x'::ubigint), upgrading the algorithm families
+# A7 (minhash) and X8→simhash from rows-only to full value-hash checks:
+# permutation-min and bit-vote logic are verified end to end; only the
+# base hash primitive differs from production.
+
+_TWIN_PERMS = [(2 * j + 1, 7919 * (j + 1)) for j in range(16)]  # (a_j, b_j)
+_TWIN_P = 4_294_967_311  # prime > 2^32
+
+
+def _q_minhash_perm_sigs(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    h = "conv(substring(md5(tok), 1, 8), 16, 10)"  # 32-bit hex → decimal str
+    toks = docs.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
+    ).selectExpr("doc_id", f"cast({h} AS bigint) AS h")
+    aggs = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(_TWIN_P)).alias(f"mh_{j}")
+        for j, (a, b) in enumerate(_TWIN_PERMS)
+    ]
+    return toks.groupBy("doc_id").agg(*aggs)
+
+
+MINHASH_TWIN_SQL = (
+    "WITH toks AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h "
+    "FROM (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok "
+    "FROM documents)) SELECT doc_id, "
+    + ", ".join(
+        f"min(({a} * h + {b}) % {_TWIN_P}) AS mh_{j}"
+        for j, (a, b) in enumerate(_TWIN_PERMS)
+    )
+    + " FROM toks GROUP BY doc_id"
+)
+
+
+def _q_simhash_bitvote_docs(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    h = "conv(substring(md5(tok), 1, 8), 16, 10)"
+    toks = docs.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
+    ).selectExpr("doc_id", f"cast({h} AS bigint) AS h")
+    votes = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when((F.shiftright(F.col("h"), i) % 2) == 1, 1).otherwise(-1)
+            ).alias(f"v_{i}")
+            for i in range(32)
+        ]
+    )
+    sim = None
+    for i in range(32):
+        bit = F.when(F.col(f"v_{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        sim = bit if sim is None else sim + bit
+    return votes.select("doc_id", sim.cast("long").alias("simhash32"))
+
+
+SIMHASH_TWIN_SQL = (
+    "WITH toks AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h "
+    "FROM (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok "
+    "FROM documents)), votes AS (SELECT doc_id, "
+    + ", ".join(
+        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS v_{i}"
+        for i in range(32)
+    )
+    + " FROM toks GROUP BY doc_id) SELECT doc_id, ("
+    + " + ".join(
+        f"CASE WHEN v_{i} > 0 THEN {1 << i}::BIGINT ELSE 0 END" for i in range(32)
+    )
+    + ")::BIGINT AS simhash32 FROM votes"
+)
+
+
 def _q_simhash_docs(spark, sf_dir):
     from dedup_spark.config import DedupConfig
     from dedup_spark.functions.udfs import make_shingle_udf, make_signature_udf
@@ -1413,6 +1497,9 @@ ORDER BY revenue DESC, l_orderkey ASC LIMIT 20""",
     "minhash_lsh_candidates": QuerySpec(_q_minhash_candidates, None),
     "containment_lsh_candidates": QuerySpec(_q_containment_candidates, None),
     "simhash_docs": QuerySpec(_q_simhash_docs, None),
+    # oracle-checkable algorithmic twins of the two hash kernels above
+    "minhash_perm_sigs": QuerySpec(_q_minhash_perm_sigs, MINHASH_TWIN_SQL),
+    "simhash_bitvote_docs": QuerySpec(_q_simhash_bitvote_docs, SIMHASH_TWIN_SQL),
     "substring_anchors": QuerySpec(
         _q_substring_anchors,
         f"WITH {_ANCHORS_SQL} SELECT conv_a, conv_b, a_pos, b_pos FROM anchors",

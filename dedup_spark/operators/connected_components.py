@@ -66,12 +66,20 @@ def _unionfind_labels(nodes: DataFrame, edges: DataFrame) -> DataFrame:
             lo, hi = (ra, rb) if ra < rb else (rb, ra)
             parent[hi] = lo
 
-    rows = [(x, find(x)) for x in parent]
     spark = nodes.sparkSession
     id_type = nodes.schema["conv_id"].dataType.simpleString()
-    relabel = spark.createDataFrame(
-        rows or [], f"conv_id {id_type}, cluster_id {id_type}"
-    )
+    if parent:
+        import pandas as pd
+
+        ks = list(parent)
+        relabel = spark.createDataFrame(
+            # Arrow path: a plain list of tuples serializes row-by-row
+            # through py4j (seconds at 10^5 edges)
+            pd.DataFrame({"conv_id": ks, "cluster_id": [find(x) for x in ks]}),
+            f"conv_id {id_type}, cluster_id {id_type}",
+        )
+    else:
+        relabel = spark.createDataFrame([], f"conv_id {id_type}, cluster_id {id_type}")
     return nodes.select("conv_id").join(
         F.broadcast(relabel), "conv_id", "left"
     ).select(

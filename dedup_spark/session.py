@@ -52,7 +52,14 @@ def get_spark(
         .config("spark.sql.constraintPropagation.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
-        .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        # 32m: a "64m" plan-estimated build side deserializes to several
+        # hundred MB in the in-memory hash relation — measured OOMing an
+        # 8g single-JVM heap at the 12k-conv scaling corpus. Cluster
+        # deploys with real executor memory can raise via submit conf.
+        .config(
+            "spark.sql.autoBroadcastJoinThreshold",
+            os.environ.get("SPARK_GRAFT_BROADCAST", "32m"),
+        )
         # collect_list/collect_set aggregations (transcript assembly,
         # informative-set regroup, suffix buckets) use ObjectHashAggregate,
         # which falls back to SORT-based aggregation after only 128 map

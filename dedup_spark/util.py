@@ -30,6 +30,20 @@ def ensure_parallelism(df: DataFrame, factor: int = 2) -> DataFrame:
     """
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism * factor
+    # Size-aware clamp (driver-only plan statistics, no job): a tiny
+    # input repartitioned to 2×cores pays ~target tasks of pure
+    # scheduling floor in EVERY downstream stage — at interactive/bench
+    # scale that floor dominates the actual work. One partition per
+    # ~8 MB of input (never below one per core, never above target)
+    # keeps big corpora at full width while small inputs stay narrow.
+    try:
+        size_bytes = int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+        by_size = max(sc.defaultParallelism, size_bytes // (8 << 20) + 1)
+        target = min(target, by_size)
+    except Exception:  # noqa: BLE001 - unknown stats → keep full width
+        pass
     try:
         plan = df._jdf.queryExecution().logical().toString()
     except Exception:  # noqa: BLE001 - fall back to widening
