@@ -211,7 +211,9 @@ class StageCatalog:
                 )
             )
             return out
-        ckpt = build().localCheckpoint(eager=True)
+        from dedup_spark.util import eager_ckpt
+
+        ckpt = eager_ckpt(build())
         wall_ms = int((time.monotonic() - t0) * 1000)
         self._live[name] = ckpt
         self._pending.append(

@@ -51,7 +51,9 @@ def _shared(spark: SparkSession, sf_dir: str, key: str, build) -> DataFrame:
     mk = (spark, sf_dir, key)
     df = _SHARED.get(mk)
     if df is None:
-        df = build().localCheckpoint(eager=True)
+        from dedup_spark.util import eager_ckpt
+
+        df = eager_ckpt(build())
         _SHARED[mk] = df
     return df
 

@@ -34,6 +34,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from dedup_spark.util import eager_ckpt
+
 #: edges collected to the driver when the count is at or below this;
 #: ~32 bytes/edge of Python tuples → well under 1 GiB at the cap
 DRIVER_EDGE_LIMIT = 5_000_000
@@ -104,11 +106,11 @@ def connected_components(
         edges.select(F.col("conv_a").alias("src"), F.col("conv_b").alias("dst"))
         .union(edges.select(F.col("conv_b").alias("src"), F.col("conv_a").alias("dst")))
         .dropDuplicates(["src", "dst"])
-        .localCheckpoint(eager=True)
     )
-    labels = nodes.select(
-        F.col("conv_id"), F.col("conv_id").alias("cluster_id")
-    ).localCheckpoint(eager=True)
+    sym = eager_ckpt(sym)
+    labels = eager_ckpt(
+        nodes.select(F.col("conv_id"), F.col("conv_id").alias("cluster_id"))
+    )
 
     for it in range(max_iters):
         # label each dst with the (current) min label among its neighbors
@@ -121,7 +123,7 @@ def connected_components(
         # (a separate old-vs-new join per iteration doubled the loop's
         # fixed job cost); the convergence probe then just filters the
         # already-checkpointed result
-        new_labels = (
+        new_labels = eager_ckpt(
             labels.join(neighbor_min, labels.conv_id == neighbor_min.dst, "left")
             .select(
                 "conv_id",
@@ -133,7 +135,6 @@ def connected_components(
                     & (F.col("nbr_label") < F.col("cluster_id"))
                 ).alias("_changed"),
             )
-            .localCheckpoint(eager=True)
         )
         labels = new_labels.drop("_changed")
         # probe convergence every 2nd iteration (and on the last): each

@@ -94,9 +94,12 @@ def position_classes(
     # of windows are corpus-unique (df == 1), so shipping the full df
     # table through the join would shuffle the biggest table in the
     # pipeline to classify rows a null probe identifies for free: after
-    # a LEFT join on the (small) repeated-window side, NULL df ⇔
-    # df == 1 ⇔ non-duplicated. AQE broadcasts the small side when it
-    # fits, leaving the ×doc_len positions table entirely map-side.
+    # a LEFT join on the repeated-window side, NULL df ⇔ df == 1 ⇔
+    # non-duplicated. Join STRATEGY is the caller's call (pass a hinted
+    # df_table): at interactive scale the subset broadcasts; the
+    # pipeline passes shuffle_hash because its subset measured 26.6M
+    # rows at a 12k-conv corpus — a ~19 s single-threaded driver build
+    # there, and unbroadcastable at 10^12 turns.
     # Distinct column names sidestep self-join attribute ambiguity
     # (df_table is typically derived from keys).
     d = df_table.select(

@@ -248,3 +248,70 @@ def informative_and_repeated(
         )
         .withColumn("n_shingles", F.size("shingles"))
     )
+
+
+def annotate_shingle_df(exploded: DataFrame) -> DataFrame:
+    """(conv_id, shingle) → (conv_id, shingle, df): every per-conv
+    shingle occurrence annotated with its corpus document frequency, in
+    ONE shuffle — hash-repartition by shingle, then a whole-partition
+    window count (per-conv sets are distinct, so count(*) per shingle ≡
+    distinct-conv DF).
+
+    This replaces the join-based df annotation for the pipeline path.
+    The df >= 2 side of that join is NOT small — measured 26.6M rows of
+    45.6M distinct shingles at a 12k-conv corpus — so both join
+    strategies lose at scale: a broadcast build is a single-threaded
+    driver stall (~19 s, pure Amdahl tax at every core count) over a
+    relation that could never broadcast on a real corpus, and a
+    shuffled join re-shuffles the ×set-size exploded table a second
+    time. The window pays one partition-local sort instead and every
+    downstream consumer (informative sets, DF histogram, the
+    position-class df lookup) reads the annotated checkpoint without
+    touching the raw exploded table again.
+    """
+    from pyspark.sql import Window as W
+
+    return exploded.repartition(F.col("shingle")).withColumn(
+        "df", F.count(F.lit(1)).over(W.partitionBy("shingle"))
+    )
+
+
+def df_histogram_from_ann(ann: DataFrame) -> DataFrame:
+    """DF histogram (df → n_shingles) directly off the annotated exploded
+    table: a shingle with frequency d contributes exactly d rows (one per
+    conversation), so n_shingles(d) = rows(d) / d — integer-exact, and
+    map-side partial aggregation collapses the scan to ~|distinct df|
+    rows per task."""
+    return ann.groupBy("df").agg(
+        (F.count(F.lit(1)) / F.col("df")).cast("long").alias("n_shingles")
+    )
+
+
+def informative_from_ann(ann: DataFrame, lo: int, hi: int) -> DataFrame:
+    """:func:`informative_and_repeated` over the pre-annotated exploded
+    table — no df join at all: filter df >= 2, regroup by conversation.
+    Same output contract (conv_id, shingles [informative, sorted],
+    n_shingles, n_repeated); conversations whose every shingle is unique
+    vanish (empty-set guard analog, reference dedup.py:350)."""
+    band = F.col("df").between(F.lit(lo), F.lit(hi))
+    return (
+        ann.filter(F.col("df") >= 2)
+        .groupBy("conv_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.when(band, F.col("shingle")))
+            ).alias("shingles"),
+            F.count(F.lit(1)).alias("n_repeated"),
+        )
+        .withColumn("n_shingles", F.size("shingles"))
+    )
+
+
+def repeated_df_from_ann(ann: DataFrame) -> DataFrame:
+    """Distinct (shingle, df) for df >= 2 off the annotated table — the
+    position-class df lookup side. Map-side partial aggregation dedups
+    each task's occurrences before the shuffle, so ~df× fewer rows move
+    than a raw distinct of the exploded table."""
+    return ann.filter(F.col("df") >= 2).dropDuplicates(["shingle"]).select(
+        "shingle", "df"
+    )

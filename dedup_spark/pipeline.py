@@ -4,7 +4,7 @@ Stage graph (each stage a StageCatalog checkpoint; names are the resume
 keys — the distributed analog of the reference's skip-if-exists file
 caching, dedup.py:439-443):
 
-  turns ─► transcripts ─► shingle_sets ─► shingle_df ─► df_histogram
+  turns ─► transcripts ─► shingle_sets ─► shingle_ann ─► df_histogram
                     │                        │              │
                     └────────► informative ◄─┴── df band (manual/tail/fit)
                                    │
@@ -21,7 +21,7 @@ caching, dedup.py:439-443):
   transcripts ─► suffix keys ─► key_occ_repeated ─► anchor_skew
         │               │            │            │
         │               └─────► anchors (⋈ candidate_pairs)
-        │  shingle_df ─► position_classes ─► substring_spans (dnd-scored)
+        │  shingle_ann ─► position_classes ─► substring_spans (dnd-scored)
         │                                         │           ▼
         └────────────────────────────────► interval_marks ─► merged
                                                               │
@@ -81,22 +81,33 @@ class DedupPipeline:
         transcripts = cat.stage("transcripts", lambda: assemble_transcripts(turns))
         sets_df = cat.stage("shingle_sets", lambda: shingling.shingle_sets(transcripts, cfg))
         exploded = shingling.exploded_shingles(sets_df)  # cheap view, not checkpointed
-        shingle_df = cat.stage(
-            "shingle_df", lambda: shingling.shingle_document_frequency(exploded)
+        # df annotation via ONE repartition-by-shingle + window count —
+        # no df join anywhere downstream. The former shingle_df stage fed
+        # a join whose df>=2 side measured 26.6M rows at 12k convs:
+        # broadcast was a ~19 s single-threaded driver build (×2 — here
+        # and in position_classes), a shuffled join re-shuffled the
+        # ×set-size exploded table; the window pays one local sort and
+        # every consumer reads the annotated checkpoint instead.
+        ann = cat.stage(
+            "shingle_ann", lambda: shingling.annotate_shingle_df(exploded)
         )
-        # histogram: collected directly off the checkpointed shingle_df —
-        # a separate checkpoint stage bought nothing (the collect is one
-        # cheap scan, and resume re-derives it from shingle_df anyway)
-        hist = shingling.df_histogram(shingle_df).collect()
-        lo, hi = shingling.pick_df_band(
-            [(r["df"], r["n_shingles"]) for r in hist], cfg
-        )
+        # df band: manual mode (the default) needs no histogram — the
+        # collect is a full scan of the biggest table in the pipeline,
+        # and it sits on the critical path (driver blocks). Only the
+        # auto modes (tail/fit) pay it; exact counts-of-counts off the
+        # annotated table (n_shingles(d) = rows(d)/d).
+        if cfg.df_band_mode == "manual" and not cfg.auto_df_band:
+            lo, hi = cfg.df_lo, cfg.df_hi
+        else:
+            hist = shingling.df_histogram_from_ann(ann).collect()
+            lo, hi = shingling.pick_df_band(
+                [(r["df"], r["n_shingles"]) for r in hist], cfg
+            )
         # fused: the per-conv repeated (df>=2) count for the stats sink
-        # rides the SAME exploded⋈df join that builds the informative
-        # sets — the stats pass used to pay a second full shuffle for it
+        # rides the SAME filter+regroup that builds the informative sets
         informative = cat.stage(
             "informative_sets",
-            lambda: shingling.informative_and_repeated(exploded, shingle_df, lo, hi),
+            lambda: shingling.informative_from_ann(ann, lo, hi),
         )
         signatures = cat.stage(
             "signatures", lambda: lsh.compute_signatures(informative, cfg)
@@ -192,9 +203,13 @@ class DedupPipeline:
                     total_chars = (
                         cand_transcripts.agg(F.sum("doc_len")).collect()[0][0] or 0
                     )
-                    skeys_box["df"] = substring.suffix_keys(
-                        cand_transcripts, cfg, total_chars=total_chars
-                    ).localCheckpoint(eager=True)
+                    from dedup_spark.util import eager_ckpt
+
+                    skeys_box["df"] = eager_ckpt(
+                        substring.suffix_keys(
+                            cand_transcripts, cfg, total_chars=total_chars
+                        )
+                    )
                 return skeys_box["df"]
 
             # one aggregation pass over the suffix explode serves BOTH
@@ -217,6 +232,21 @@ class DedupPipeline:
                     lambda: substring.non_ascii_report(cand_transcripts),
                 )
             )
+            # the position-class df lookup side is chains-independent:
+            # prebuild it on a pool thread so its scan+dedup of the
+            # annotated table overlaps the chain stage's narrow window
+            # phases instead of extending the branch tail. Skipped
+            # entirely when position_classes resumes from checkpoint.
+            rep_f = None
+            if not cat.exists("position_classes"):
+                from dedup_spark.util import eager_ckpt
+
+                rep_f = pool.submit(
+                    lambda: eager_ckpt(
+                        shingling.repeated_df_from_ann(ann)
+                        .withColumnRenamed("shingle", "key")
+                    )
+                )
             chains = cat.stage(
                 "substring_chains",
                 lambda: substring.simplify_spans(
@@ -231,13 +261,17 @@ class DedupPipeline:
             )
             # dnd position classes restricted to the spans' own char
             # ranges (volume ∝ total span chars, not ×doc_len); df stays
-            # CORPUS-WIDE via the checkpointed shingle_df
+            # CORPUS-WIDE via the annotated checkpoint. The lookup side
+            # is hinted shuffle_hash: 26.6M distinct df>=2 shingles at
+            # 12k convs is no broadcast candidate (19 s serial build
+            # here, terabytes at real scale) — a parallel per-partition
+            # hash build probes the fragment keys without sorting them.
             poscls = cat.stage(
                 "position_classes",
                 lambda: scoring.span_position_classes(
                     chains,
                     cand_transcripts,
-                    shingle_df.withColumnRenamed("shingle", "key"),
+                    rep_f.result().hint("shuffle_hash"),
                     cfg,
                     lo,
                     hi,
@@ -326,7 +360,7 @@ class DedupPipeline:
           ``n_shingles`` on signatures IS the dup count already (the
           informative set), and the df == 1 count is the complement of
           the conv's df >= 2 count, which rides the informative stage
-          (shingling.informative_and_repeated) — no extra scan of the
+          (shingling.informative_from_ann) — no extra scan of the
           exploded table.
         * removal ratios with the reference's 1e-6 epsilon
           (dedup.py:183-186, X3): under whole-conversation dedup a

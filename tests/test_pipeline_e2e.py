@@ -101,7 +101,7 @@ def test_metrics_cover_all_stages(result):
     # projection of the signatures checkpoint — a dedicated write bought
     # nothing but serial driver time)
     assert {
-        "transcripts", "shingle_sets", "shingle_df", "informative_sets",
+        "transcripts", "shingle_sets", "shingle_ann", "informative_sets",
         "signatures", "candidate_pairs", "verified_pairs",
         "clusters", "deduped_turns", "substring_spans", "interval_marks",
         "trimmed_turns",

@@ -52,7 +52,7 @@ def test_pipeline_resume_equivalence(spark, tmp_path):
     clusters2 = sorted((r.conv_id, r.cluster_id) for r in r2.clusters.collect())
     assert clusters1 == clusters2
     reused = {m.stage for m in p2.catalog.metrics if m.reused}
-    assert {"transcripts", "shingle_sets", "shingle_df", "signatures"} <= reused
+    assert {"transcripts", "shingle_sets", "shingle_ann", "signatures"} <= reused
 
 
 def test_iceberg_backend_requires_real_catalog(spark, tmp_path):

@@ -63,3 +63,54 @@ def test_zero_band_conv_kept_for_stats(spark):
     }
     assert fused["a"]["shingles"] == []
     assert fused["a"]["n_repeated"] == 2
+
+
+def test_ann_path_matches_join_path(spark):
+    """The window-annotated path (annotate_shingle_df → informative_from_ann
+    / df_histogram_from_ann / repeated_df_from_ann) must agree exactly
+    with the join-based operators it replaces in the pipeline."""
+    data = {
+        "a": [1, 2, 3, 4, 7],
+        "b": [1, 2, 4],
+        "c": [1, 4, 8],
+        "d": [4],
+        "e": [5, 6],
+    }
+    exploded = _exploded(spark, data)
+    sdf = shingling.shingle_document_frequency(exploded)
+    ann = shingling.annotate_shingle_df(exploded)
+    lo, hi = 2, 3
+
+    # per-occurrence df annotation is exactly the join's
+    want_df = {r["shingle"]: r["df"] for r in sdf.collect()}
+    for r in ann.collect():
+        assert r["df"] == want_df[r["shingle"]], r
+
+    # informative sets + repeated counts
+    via_join = {
+        r["conv_id"]: (r["shingles"], r["n_shingles"], r["n_repeated"])
+        for r in shingling.informative_and_repeated(exploded, sdf, lo, hi).collect()
+    }
+    via_ann = {
+        r["conv_id"]: (r["shingles"], r["n_shingles"], r["n_repeated"])
+        for r in shingling.informative_from_ann(ann, lo, hi).collect()
+    }
+    assert via_ann == via_join
+
+    # histogram: rows(d)/d is integer-exact
+    want_hist = {
+        r["df"]: r["n_shingles"] for r in shingling.df_histogram(sdf).collect()
+    }
+    got_hist = {
+        r["df"]: r["n_shingles"]
+        for r in shingling.df_histogram_from_ann(ann).collect()
+    }
+    assert got_hist == want_hist
+
+    # repeated (shingle, df) lookup side: distinct, df >= 2 only
+    got_rep = sorted(
+        (r["shingle"], r["df"])
+        for r in shingling.repeated_df_from_ann(ann).collect()
+    )
+    want_rep = sorted((s, d) for s, d in want_df.items() if d >= 2)
+    assert got_rep == want_rep
