@@ -47,6 +47,23 @@ class DedupConfig:
     spectrum_min_df: int = 2     # histogram domain clamps for the fit
     spectrum_max_df: int = 256   # (ref min/max_kmer_depth, dedup.py:634,640;
                                  # clamp semantics kmer_spectrum.py:161-166)
+    df_annotation_mode: str = "window"
+                                 # how per-occurrence df is computed:
+                                 # "window" (default) — ONE repartition-
+                                 #   by-shingle + window count; no df
+                                 #   dim side (measured 26.6M rows at a
+                                 #   12k-conv corpus — unbroadcastable),
+                                 #   but a single ultra-head shingle
+                                 #   (df ~ corpus size) concentrates in
+                                 #   one task: windows get no AQE skew
+                                 #   splitting;
+                                 # "join" — groupBy df + join back: two
+                                 #   shuffles and a huge dim side, but
+                                 #   partial aggregation + AQE skew-join
+                                 #   splitting keep pathological Zipf
+                                 #   heads task-bounded. Pick "join" for
+                                 #   corpora with boilerplate shared by
+                                 #   a large fraction of ALL documents.
 
     # --- verification ---
     verify_containment: float = 0.2   # ref containment_threshold, dedup.py:592
@@ -121,6 +138,10 @@ class DedupConfig:
             raise ValueError(f"bad shingle_unit {self.shingle_unit!r}")
         if self.df_band_mode not in ("manual", "tail", "fit", "fit_or_tail"):
             raise ValueError(f"bad df_band_mode {self.df_band_mode!r}")
+        if self.df_annotation_mode not in ("window", "join"):
+            raise ValueError(
+                f"bad df_annotation_mode {self.df_annotation_mode!r}"
+            )
 
     def fingerprint(self) -> str:
         """Stable hash of the config, used to validate checkpoint reuse."""

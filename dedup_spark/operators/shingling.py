@@ -276,6 +276,20 @@ def annotate_shingle_df(exploded: DataFrame) -> DataFrame:
     )
 
 
+def annotate_shingle_df_join(exploded: DataFrame) -> DataFrame:
+    """Join-based twin of :func:`annotate_shingle_df` (same output
+    schema), selected via ``DedupConfig.df_annotation_mode="join"``:
+    groupBy df + shuffle join back. Costs a second shuffle of the
+    exploded table and a huge (non-broadcastable) dim side, but partial
+    aggregation + AQE skew-join splitting keep a pathological Zipf head
+    shingle (df ~ corpus size) task-bounded — the window variant's one
+    known scale exposure (window groups get no AQE skew splitting)."""
+    sdf = shingle_document_frequency(exploded)
+    return exploded.join(sdf.hint("shuffle_hash"), "shingle").select(
+        "conv_id", "shingle", "df"
+    )
+
+
 def df_histogram_from_ann(ann: DataFrame) -> DataFrame:
     """DF histogram (df → n_shingles) directly off the annotated exploded
     table: a shingle with frequency d contributes exactly d rows (one per

@@ -88,9 +88,12 @@ class DedupPipeline:
         # and in position_classes), a shuffled join re-shuffled the
         # ×set-size exploded table; the window pays one local sort and
         # every consumer reads the annotated checkpoint instead.
-        ann = cat.stage(
-            "shingle_ann", lambda: shingling.annotate_shingle_df(exploded)
+        annotate = (
+            shingling.annotate_shingle_df
+            if cfg.df_annotation_mode == "window"
+            else shingling.annotate_shingle_df_join  # skew-safe fallback
         )
+        ann = cat.stage("shingle_ann", lambda: annotate(exploded))
         # df band: manual mode (the default) needs no histogram — the
         # collect is a full scan of the biggest table in the pipeline,
         # and it sits on the critical path (driver blocks). Only the
