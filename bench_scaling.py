@@ -90,7 +90,6 @@ def generate_input(path: str, n_convs: int) -> None:
 
 def run_once(cores: int, turns: str, tag: str = "") -> dict:
     wh = f"/tmp/scalebench_wh_{cores}{tag}"
-    shutil.rmtree(wh, ignore_errors=True)
     report = f"/tmp/scalebench_{cores}{tag}.json"
     cmd = [
         "taskset", "-c", CPUSET[cores],
@@ -105,8 +104,22 @@ def run_once(cores: int, turns: str, tag: str = "") -> dict:
         os.path.join(REPO, "run_pipeline.py"),
         "--turns", turns, "--warehouse", wh, "--report", report,
     ]
-    subprocess.run(cmd, check=True, stdout=subprocess.DEVNULL,
-                   stderr=subprocess.DEVNULL, timeout=3600)
+    # one retry: local[32] on the fixed 8 GiB protocol heap intermittently
+    # OOMs under 32 concurrent task buffers (~1 in 3 at 16k convs) — a
+    # sandbox memory:core ratio artifact, not a plan property (counts are
+    # deterministic whenever a run completes). A crashed leg is rerun
+    # once on a fresh warehouse; a second failure propagates.
+    for attempt in (1, 2):
+        shutil.rmtree(wh, ignore_errors=True)
+        try:
+            subprocess.run(cmd, check=True, stdout=subprocess.DEVNULL,
+                           stderr=subprocess.DEVNULL, timeout=3600)
+            break
+        except subprocess.CalledProcessError:
+            if attempt == 2:
+                raise
+            print(f"# local[{cores}]{tag} crashed (sandbox OOM); retrying once",
+                  file=sys.stderr)
     with open(report) as f:
         rep = json.loads(f.readline())
     print(f"# local[{cores}] on {CPUSET[cores]}: {rep['wall_sec']}s, "
@@ -202,6 +215,12 @@ def main() -> int:
         "raw_compute_speedup_1_4": round(raw_1_4, 3),
         "normalized_efficiency_1_4": round(pipe_1_4 / raw_1_4, 3),
     }
+    # durable-write the PRIMARY result before any secondary leg runs — a
+    # crashed secondary must not lose the gate measurement
+    line = json.dumps(out)
+    with open(os.path.join(REPO, "BENCH_SCALING.json"), "w") as f:
+        f.write(line + "\n")
+
     if args.with_2_8:
         r2 = run_once(2, turns, tag="_x")
         r8 = run_once(8, turns, tag="_x")

@@ -136,9 +136,16 @@ def score_spans(spans: DataFrame, poscls: DataFrame, cfg: DedupConfig) -> DataFr
 
     def side_stats(side: str) -> DataFrame:
         p = poscls.select(F.col("conv_id").alias(f"conv_{side}"), "pos", "cls")
+        # merge hint: the positions side is the biggest table in the
+        # branch (40M rows at a 16k-conv corpus). A broadcast pick —
+        # which checkpoint-inherited stat estimates DO make (Spark
+        # checkpoints carry the original plan's estimates, not measured
+        # sizes) — is a driver-memory time bomb, and a shuffled-hash
+        # build cannot spill (measured "Can't acquire memory to build
+        # hash relation" at local[32] on an 8g heap). Sort-merge spills.
         return (
             spans.select(*key, f"{side}_start", f"{side}_end")
-            .join(p.hint("shuffle_hash"), f"conv_{side}")
+            .join(p.hint("merge"), f"conv_{side}")
             .filter(F.col("pos").between(F.col(f"{side}_start"), F.col(f"{side}_end")))
             .groupBy(*key)
             .agg(
@@ -221,8 +228,12 @@ def span_position_classes(
         )
     )
     udf = make_window_hash_udf(cfg)
+    # merge hint: statistics inherited through checkpoints under-estimate
+    # both sides, and the static pick was a broadcast of the TRANSCRIPT
+    # DOC STRINGS — tens of MB here, unbounded at corpus scale, and a
+    # measured flaky OOM at local[32]/8g. Sort-merge sorts ~|convs| rows.
     frags = (
-        ivals.join(transcripts.select("conv_id", "doc"), "conv_id")
+        ivals.join(transcripts.select("conv_id", "doc").hint("merge"), "conv_id")
         .select(
             "conv_id",
             "start",

@@ -265,16 +265,21 @@ class DedupPipeline:
             # dnd position classes restricted to the spans' own char
             # ranges (volume ∝ total span chars, not ×doc_len); df stays
             # CORPUS-WIDE via the annotated checkpoint. The lookup side
-            # is hinted shuffle_hash: 26.6M distinct df>=2 shingles at
-            # 12k convs is no broadcast candidate (19 s serial build
-            # here, terabytes at real scale) — a parallel per-partition
-            # hash build probes the fragment keys without sorting them.
+            # is hinted MERGE (sort-merge): it is no broadcast candidate
+            # (26.6M distinct df>=2 shingles at 12k convs; terabytes at
+            # real scale) yet checkpoint-inherited stat estimates made
+            # the static planner broadcast it (measured "Not enough
+            # memory to build and broadcast" at local[32] on an 8g
+            # heap), and a forced shuffled-hash build cannot spill
+            # (measured "Can't acquire memory to build hash relation"
+            # at the same scale). SMJ's radix sort on the 8-byte key
+            # spills gracefully at every memory:parallelism ratio.
             poscls = cat.stage(
                 "position_classes",
                 lambda: scoring.span_position_classes(
                     chains,
                     cand_transcripts,
-                    rep_f.result().hint("shuffle_hash"),
+                    rep_f.result().hint("merge"),
                     cfg,
                     lo,
                     hi,
