@@ -134,21 +134,57 @@ def _transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _conv_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(conv_id, shingle) distinct string shingles — A1 explode analog."""
-    t = _transcripts(spark, sf_dir).filter(F.length("doc") >= K)
-    return t.select(
-        "conv_id",
-        F.explode(
-            F.array_distinct(
-                F.expr(f"transform(sequence(1, length(doc) - {K} + 1), i -> substr(doc, i, {K}))")
+    """(conv_id, shingle) DISTINCT string shingles — A1 explode analog,
+    memoized (``_shingle_df`` and ``conv_shingle_stats`` both consume it;
+    each used to re-run the whole explode).
+
+    Fast path: explode positions + BINARY substring fused in one
+    whole-stage-codegen stage — the same plan shape as
+    ``substring.suffix_keys`` and for the same reason: a per-row
+    ``transform()`` materializes a doc_len-sized array of 17-char string
+    objects per document first (GC churn measured as the dominant cost
+    of this family). Byte slicing is only char-correct on pure-ASCII
+    docs, so non-ASCII docs take the char-space transform path and the
+    union preserves exact oracle semantics (DuckDB ``substr`` is
+    char-based). The per-conv DISTINCT lands in ``dropDuplicates``,
+    whose map-side partial aggregation removes same-doc repeats before
+    the shuffle."""
+
+    def build():
+        t = _transcripts(spark, sf_dir).filter(F.length("doc") >= K)
+        is_ascii = F.length("doc") == F.octet_length("doc")
+        fast = (
+            t.filter(is_ascii)
+            .select("conv_id", F.encode("doc", "UTF-8").alias("b"))
+            .select(
+                "conv_id",
+                "b",
+                F.explode(F.sequence(F.lit(1), F.length("b") - K + 1)).alias("pos"),
             )
-        ).alias("shingle"),
-    )
+            .select(
+                "conv_id",
+                F.expr(f"decode(substring(b, pos, {K}), 'UTF-8')").alias("shingle"),
+            )
+        )
+        slow = t.filter(~is_ascii).select(
+            "conv_id",
+            F.explode(
+                F.array_distinct(
+                    F.expr(
+                        f"transform(sequence(1, length(doc) - {K} + 1), i -> substr(doc, i, {K}))"
+                    )
+                )
+            ).alias("shingle"),
+        )
+        return fast.unionByName(slow).dropDuplicates(["conv_id", "shingle"])
+
+    return _shared(spark, sf_dir, "conv_shingles", build)
 
 
 def _shingle_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     # memoized: shingle_df / histogram / informative / conv_shingle_stats
-    # all consume this groupBy (itself over the ×doc_len window explode)
+    # all consume this groupBy; rows of _conv_shingles are distinct per
+    # conv, so a plain count is the distinct-conversation df
     return _shared(
         spark, sf_dir, "shingle_df",
         lambda: _conv_shingles(spark, sf_dir)
@@ -652,12 +688,43 @@ def _doc_transcripts(spark, sf_dir):
     )
 
 
-def _q_substring_anchors(spark, sf_dir):
+def _sub_keys(spark, sf_dir):
+    """Suffix-key explode (×doc_len), deliberately LAZY — the fused
+    generator+xxhash64 projection is whole-stage-codegen over a small
+    parquet scan, and re-running it per consumer measured CHEAPER than
+    materializing 25M rows into block storage and re-reading them
+    (checkpointing this explode was a 2-3× pessimization at sf0.1).
+    What IS memoized is everything downstream that shrinks the data:
+    the occurrence table and the anchor pairs."""
     from dedup_spark.operators import substring
 
-    t = _doc_transcripts(spark, sf_dir)
-    keys = substring.suffix_keys(t, _sub_cfg())
-    return substring.anchor_matches(keys, _sub_cfg(), convs=t).select(
+    return substring.suffix_keys(_doc_transcripts(spark, sf_dir), _sub_cfg())
+
+
+def _sub_key_occ(spark, sf_dir):
+    from dedup_spark.operators import substring
+
+    return _shared(
+        spark, sf_dir, "sub_key_occ",
+        lambda: substring.key_occurrence(_sub_keys(spark, sf_dir)),
+    )
+
+
+def _sub_anchors(spark, sf_dir):
+    from dedup_spark.operators import substring
+
+    return _shared(
+        spark, sf_dir, "sub_anchors",
+        lambda: substring.anchor_matches(
+            _sub_keys(spark, sf_dir), _sub_cfg(),
+            convs=_doc_transcripts(spark, sf_dir),
+            key_occ=_sub_key_occ(spark, sf_dir),
+        ),
+    )
+
+
+def _q_substring_anchors(spark, sf_dir):
+    return _sub_anchors(spark, sf_dir).select(
         "conv_a", "conv_b",
         F.col("a_pos").cast("long").alias("a_pos"),
         F.col("b_pos").cast("long").alias("b_pos"),
@@ -673,12 +740,8 @@ def _sub_chains(spark, sf_dir):
     cfg = _sub_cfg()
 
     def build():
-        t = _doc_transcripts(spark, sf_dir)
-        keys = substring.suffix_keys(t, cfg)
         return substring.simplify_spans(
-            substring.chain_anchors(
-                substring.anchor_matches(keys, cfg, convs=t), cfg
-            )
+            substring.chain_anchors(_sub_anchors(spark, sf_dir), cfg)
         )
 
     return _shared(spark, sf_dir, "sub_chains", build)
@@ -691,8 +754,12 @@ def _poscls17(spark, sf_dir):
     from dedup_spark.operators import scoring
 
     def build():
-        t = _doc_transcripts(spark, sf_dir)
-        wkeys = scoring.jvm_window_keys(t, K)
+        # the window-key explode has two consumers (window_df and the
+        # class join) but stays LAZY on purpose: re-running the fused
+        # generator+hash projection per consumer measured cheaper than
+        # checkpointing 25M rows (see _sub_keys). The aggregates that
+        # SHRINK it (wdf17, and poscls itself) are what get memoized.
+        wkeys = scoring.jvm_window_keys(_doc_transcripts(spark, sf_dir), K)
         wdf = _shared(
             spark, sf_dir, "wdf17", lambda: scoring.window_df(wkeys)
         )

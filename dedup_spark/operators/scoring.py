@@ -136,16 +136,22 @@ def score_spans(spans: DataFrame, poscls: DataFrame, cfg: DedupConfig) -> DataFr
 
     def side_stats(side: str) -> DataFrame:
         p = poscls.select(F.col("conv_id").alias(f"conv_{side}"), "pos", "cls")
-        # merge hint: the positions side is the biggest table in the
-        # branch (40M rows at a 16k-conv corpus). A broadcast pick —
-        # which checkpoint-inherited stat estimates DO make (Spark
-        # checkpoints carry the original plan's estimates, not measured
-        # sizes) — is a driver-memory time bomb, and a shuffled-hash
-        # build cannot spill (measured "Can't acquire memory to build
-        # hash relation" at local[32] on an 8g heap). Sort-merge spills.
+        # shuffled-hash join with the SPANS side as the build: the
+        # positions side is the biggest table in the branch (40M rows at
+        # a 16k-conv corpus), so (a) a broadcast pick — which
+        # checkpoint-inherited stat estimates DO make — is a
+        # driver-memory time bomb, (b) building the hash relation on the
+        # positions side cannot spill (measured "Can't acquire memory to
+        # build hash relation" at local[32]/8g), and (c) a sort-merge
+        # hint sorts the positions side TWICE (once per span end) —
+        # measured as the dominant cost of span scoring. Hashing the
+        # spans side is none of those: spans are LSH-pruned pairs, always
+        # orders of magnitude smaller than positions, so the per-partition
+        # build is small; the positions side only shuffles, never sorts.
         return (
             spans.select(*key, f"{side}_start", f"{side}_end")
-            .join(p.hint("merge"), f"conv_{side}")
+            .hint("shuffle_hash")
+            .join(p, f"conv_{side}")
             .filter(F.col("pos").between(F.col(f"{side}_start"), F.col(f"{side}_end")))
             .groupBy(*key)
             .agg(
