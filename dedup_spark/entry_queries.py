@@ -214,75 +214,29 @@ def _doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _verified_token_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact token-set containment verify (U1/F6/X3, reference
-    dedup.py:362-369 +1 denominators) over LSH-PRUNED candidates — no
-    quadratic stage. The DuckDB oracle mirrors the semantics with a
-    blocked self-join (fine at oracle sf); the Spark plan must scale, so
-    candidates come from conservative token-MinHash banding:
+    dedup.py:362-369 +1 denominators) over PREFIX-FILTERED candidates —
+    no quadratic stage. The DuckDB oracle mirrors the semantics with a
+    blocked self-join (fine at oracle sf); the Spark candidate stage is
+    the size-stratified prefix filter (``operators/prefix_filter.py``,
+    AllPairs/PPJoin family), which has **recall exactly 1.0 by
+    construction** — equality with the exhaustive oracle is guaranteed
+    on any corpus, including size-asymmetric containment pairs (small
+    doc ⊂ large doc, J ≪ 0.1) where every MinHash banding scheme is
+    probabilistic. This is the exact counterpart of the reference's
+    size-partitioned ``MinHashLSHEnsemble`` index (dedup.py:333-345);
+    the approximate scale path stays available as
+    ``containment_lsh_candidates``. Exact verification then recomputes
+    common/jaccard/containment on the true token arrays with the
+    identical expressions and rounding as the oracle SQL."""
+    from dedup_spark.operators import prefix_filter
 
-    * r=1, b=128 banding over hashed token sets: a pair is a candidate
-      iff ANY of its 128 minhash values collide; miss probability at
-      Jaccard J is (1-J)^128. For NEAR-SYMMETRIC sizes a containment>0.2
-      pair has J ≥ ~0.11 and the miss probability is ≤ 3e-7 — effectively
-      exact, like the reference's 20×-loose LSH threshold (dedup.py:333).
-      For strongly size-asymmetric pairs (small doc ⊂ large doc) J can be
-      ≪ 0.1 and r=1 banding is the best any 128-perm index can do (the
-      reference's MinHashLSHEnsemble shares the same collision floor);
-      on such corpora equality with the exhaustive oracle is probabilistic,
-      not guaranteed. The driver corpora contain no boundary-asymmetric
-      pairs (equality asserted at sf0.01/sf0.1 in tests); the documented
-      scale path for containment recall + candidate pruning is
-      ``lsh.containment_candidates`` (size-stratified, see
-      ``containment_lsh_candidates``).
-    * the (lang, source) verify block is folded INTO the band key, so
-      boilerplate-token buckets split 25× before the self-join.
-    * exact verification then recomputes common/jaccard/containment on
-      the true token arrays with the identical expressions and rounding
-      as the oracle SQL.
-    """
-    from dedup_spark.config import DedupConfig
-    from dedup_spark.functions.udfs import make_signature_udf
-
-    cfg = DedupConfig(
-        num_perm=128, bands=128, rows_per_band=1, shingle_unit="token", shingle_k=1
-    )
-
-    def build_sigs():
-        docs = _read(spark, sf_dir, "documents")
-        # token hashing stays JVM-side (xxhash64 inside transform); only the
-        # minhash/banding kernel crosses the Arrow boundary
-        hs = F.array_distinct(
-            F.transform(F.split("text", " "), lambda t: F.xxhash64(t))
-        )
-        sig = make_signature_udf(cfg)
-        return (
-            docs.select("doc_id", "lang", "source", hs.alias("hs"))
-            .filter(F.size("hs") > 0)
-            .withColumn("bands", sig(F.col("hs")).getField("bands"))
-            .select(
-                "doc_id", "lang", "source",
-                F.posexplode("bands").alias("band_id", "band_hash"),
-            )
-            # one fused long join key (block attrs + band id + band hash):
-            # a single int64 column shuffles/joins far faster than a 4-col
-            # composite with strings; hash collisions can only ADD candidate
-            # pairs, which exact verification removes
-            .select(
-                "doc_id",
-                F.xxhash64("lang", "source", "band_id", "band_hash").alias("bkey"),
-            )
-        )
-
-    # memoized: the signature-UDF chain is scanned TWICE by the band
-    # self-join below — without the checkpoint the UDF runs 2× per call
-    sigs = _shared(spark, sf_dir, "vt_band_sigs", build_sigs)
-    cand = (
-        sigs.select("bkey", F.col("doc_id").alias("doc_a"))
-        .join(sigs.select("bkey", F.col("doc_id").alias("doc_b")), "bkey")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .dropDuplicates(["doc_a", "doc_b"])
-    )
     d = _doc_tokens(spark, sf_dir)
+    # memoized: cc_clusters re-traverses the same edges; the candidate
+    # join is the expensive link in this chain
+    cand = _shared(
+        spark, sf_dir, "vt_prefix_cand",
+        lambda: prefix_filter.candidate_pairs(d),
+    )
     # pairs are same-block by construction, so the a-side attrs name the
     # block (no extra corpus-sized join needed)
     ta = d.select(F.col("doc_id").alias("doc_a"), "lang", "source",
