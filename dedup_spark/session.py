@@ -81,6 +81,20 @@ def get_spark(
             "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
             os.environ.get("SPARK_GRAFT_INITIAL_PARTS", "128"),
         )
+        # 16m advisory (default 64m): AQE was coalescing the big
+        # shuffles (informative regroup, position classes) down to ~2
+        # waves of large tasks per core, so every stage ended in a long
+        # straggler tail — measured 46s of <N-cores-busy time per
+        # pipeline run at local[4], halved to 22s by 16m (wall 432s →
+        # 400s, outputs identical). Finer tasks cost scheduling overhead
+        # that is noise next to the reclaimed tails at local core
+        # counts; large-cluster deploys (where per-task overhead ×
+        # 10^5 partitions is real money) should raise this via submit
+        # conf along with initialPartitionNum.
+        .config(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            os.environ.get("SPARK_GRAFT_ADVISORY", "16m"),
+        )
     )
     # Shuffle/spill on tmpfs when available: the sandbox's block device is
     # heavily throttled, which turns shuffle-heavy stages I/O-bound and
