@@ -51,6 +51,12 @@ class StageMetric:
     wall_ms: int
     partitions: int
     reused: bool
+    # run-relative stage window (seconds since catalog creation) — the
+    # per-stage lineage timestamps that let a timeline profiler attribute
+    # busy-core samples to stages (driver threads overlap stages, so
+    # ordering alone cannot)
+    t_start: float = 0.0
+    t_end: float = 0.0
 
 
 def _has_iceberg_catalog(spark: SparkSession, catalog: str) -> bool:
@@ -73,6 +79,7 @@ class StageCatalog:
     _pending: list[Future] = field(default_factory=list, repr=False)
     _writer_pool: ThreadPoolExecutor | None = field(default=None, repr=False)
     _live: dict[str, DataFrame] = field(default_factory=dict, repr=False)
+    _t0: float = field(default_factory=time.monotonic, repr=False)
 
     def __post_init__(self) -> None:
         if self.table_format not in ("parquet", "iceberg"):
@@ -188,48 +195,49 @@ class StageCatalog:
                 rows, files = out.count(), out.rdd.getNumPartitions()
             else:
                 rows, files = self._footer_stats(name)
-            self.metrics.append(
-                StageMetric(
-                    stage=name,
-                    rows_out=rows,
-                    wall_ms=int((time.monotonic() - t0) * 1000),
-                    partitions=files,
-                    reused=True,
-                )
-            )
+            self._record(name, t0, rows, files, reused=True)
             return out
         if self.table_format == "iceberg":
             out = self.write(name, build())
             rows, files = out.count(), out.rdd.getNumPartitions()
-            self.metrics.append(
-                StageMetric(
-                    stage=name,
-                    rows_out=rows,
-                    wall_ms=int((time.monotonic() - t0) * 1000),
-                    partitions=files,
-                    reused=False,
-                )
-            )
+            self._record(name, t0, rows, files, reused=False)
             return out
         from dedup_spark.util import eager_ckpt
 
         ckpt = eager_ckpt(build())
-        wall_ms = int((time.monotonic() - t0) * 1000)
+        t1 = time.monotonic()
         self._live[name] = ckpt
         self._pending.append(
-            self._writer().submit(self._write_and_record, name, ckpt, wall_ms)
+            self._writer().submit(self._write_and_record, name, ckpt, t0, t1)
         )
         return ckpt
 
-    def _write_and_record(self, name: str, ckpt: DataFrame, wall_ms: int) -> None:
+    def _record(
+        self, name: str, t0: float, rows: int, files: int, reused: bool,
+        t1: float | None = None,
+    ) -> None:
+        t1 = time.monotonic() if t1 is None else t1
+        m = StageMetric(
+            stage=name, rows_out=rows,
+            wall_ms=int((t1 - t0) * 1000), partitions=files, reused=reused,
+            t_start=round(t0 - self._t0, 3), t_end=round(t1 - self._t0, 3),
+        )
+        self.metrics.append(m)
+        if os.environ.get("SPARK_GRAFT_STAGE_TRACE") == "1":
+            import sys
+
+            print(
+                f"##stage {m.stage} start={m.t_start:.1f} end={m.t_end:.1f} "
+                f"rows={m.rows_out} reused={m.reused}",
+                file=sys.stderr, flush=True,
+            )
+
+    def _write_and_record(
+        self, name: str, ckpt: DataFrame, t0: float, t1: float
+    ) -> None:
         self.write(name, ckpt)
         rows, files = self._footer_stats(name)
-        self.metrics.append(
-            StageMetric(
-                stage=name, rows_out=rows, wall_ms=wall_ms,
-                partitions=files, reused=False,
-            )
-        )
+        self._record(name, t0, rows, files, reused=False, t1=t1)
 
     def _writer(self) -> ThreadPoolExecutor:
         if self._writer_pool is None:
@@ -261,9 +269,12 @@ class StageCatalog:
     def metrics_df(self) -> DataFrame:
         self.flush()  # metrics rows for write-through stages land on write
         rows = [
-            (m.stage, m.rows_out, m.wall_ms, m.partitions, m.reused)
+            (m.stage, m.rows_out, m.wall_ms, m.partitions, m.reused,
+             m.t_start, m.t_end)
             for m in self.metrics
         ]
         return self.spark.createDataFrame(
-            rows, "stage string, rows_out long, wall_ms long, partitions int, reused boolean"
+            rows,
+            "stage string, rows_out long, wall_ms long, partitions int, "
+            "reused boolean, t_start double, t_end double",
         )

@@ -43,7 +43,13 @@ def compute_signatures(informative_sets: DataFrame, cfg: DedupConfig) -> DataFra
     from dedup_spark.util import ensure_parallelism
 
     udf = make_signature_udf(cfg)
-    nonempty = ensure_parallelism(informative_sets.filter(F.size("shingles") > 0))
+    # CPU-heavy UDF stage: size partitions by a UDF byte budget, not the
+    # scan-oriented default (see ensure_parallelism docstring)
+    nonempty = ensure_parallelism(
+        informative_sets.filter(F.size("shingles") > 0),
+        factor=4,
+        bytes_per_part=1 << 20,
+    )
     return nonempty.withColumn("sig", udf(F.col("shingles"))).select(
         "conv_id",
         "shingles",

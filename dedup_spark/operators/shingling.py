@@ -28,12 +28,34 @@ from dedup_spark.config import DedupConfig
 from dedup_spark.functions.udfs import make_shingle_udf
 
 
-def shingle_sets(transcripts: DataFrame, cfg: DedupConfig) -> DataFrame:
-    """transcripts → (conv_id, shingles array<long> DISTINCT, n_shingles)."""
+def shingle_sets(
+    transcripts: DataFrame, cfg: DedupConfig, total_chars: int | None = None
+) -> DataFrame:
+    """transcripts → (conv_id, shingles array<long> DISTINCT, n_shingles).
+
+    The shingle UDF's cost is per CHARACTER (window hash + unique-sort),
+    so partitioning must track character volume, not plan-estimated
+    bytes (Catalyst's string stats underestimate ~4× on checkpointed
+    RDDs, which left this stage at a handful of giant tasks — measured
+    ~1.5 busy cores on a 4-core session for 20 s). When the caller
+    supplies ``total_chars`` (the pipeline passes one cheap sum over its
+    already-checkpointed transcripts), partitions are sized at ~4M chars
+    (≈ seconds of kernel time) each; otherwise fall back to the
+    plan-stats heuristic with a UDF-appropriate byte budget."""
     from dedup_spark.util import ensure_parallelism
 
     udf = make_shingle_udf(cfg)
-    transcripts = ensure_parallelism(transcripts)
+    if total_chars is not None:
+        sc = transcripts.sparkSession.sparkContext
+        n_parts = int(
+            max(sc.defaultParallelism, min(total_chars // 4_000_000 + 1, 20_000))
+        )
+        if transcripts.rdd.getNumPartitions() < n_parts:
+            transcripts = transcripts.repartition(n_parts)
+    else:
+        transcripts = ensure_parallelism(
+            transcripts, factor=4, bytes_per_part=1 << 20
+        )
     return transcripts.select(
         "conv_id",
         udf(F.col("doc")).alias("shingles"),

@@ -79,7 +79,18 @@ class DedupPipeline:
         pool = ThreadPoolExecutor(max_workers=6)
 
         transcripts = cat.stage("transcripts", lambda: assemble_transcripts(turns))
-        sets_df = cat.stage("shingle_sets", lambda: shingling.shingle_sets(transcripts, cfg))
+        # one tiny agg over the checkpointed transcripts sizes every
+        # char-cost-proportional stage (shingle UDF now; suffix explode
+        # reuses its own candidate-restricted sum)
+        corpus_chars = int(
+            transcripts.agg(F.sum("doc_len")).collect()[0][0] or 0
+        )
+        sets_df = cat.stage(
+            "shingle_sets",
+            lambda: shingling.shingle_sets(
+                transcripts, cfg, total_chars=corpus_chars
+            ),
+        )
         exploded = shingling.exploded_shingles(sets_df)  # cheap view, not checkpointed
         # df annotation via ONE repartition-by-shingle + window count —
         # no df join anywhere downstream. The former shingle_df stage fed

@@ -38,7 +38,9 @@ def eager_ckpt(df: DataFrame) -> DataFrame:
 _WIDE_NODES = ("Aggregate", "Join", "Repartition", "Window", "Sort", "Distinct")
 
 
-def ensure_parallelism(df: DataFrame, factor: int = 2) -> DataFrame:
+def ensure_parallelism(
+    df: DataFrame, factor: int = 2, bytes_per_part: int = 8 << 20
+) -> DataFrame:
     """Round-robin repartition narrow FILE SCANS up to
     ``factor × defaultParallelism``.
 
@@ -62,13 +64,18 @@ def ensure_parallelism(df: DataFrame, factor: int = 2) -> DataFrame:
     # input repartitioned to 2×cores pays ~target tasks of pure
     # scheduling floor in EVERY downstream stage — at interactive/bench
     # scale that floor dominates the actual work. One partition per
-    # ~8 MB of input (never below one per core, never above target)
-    # keeps big corpora at full width while small inputs stay narrow.
+    # ``bytes_per_part`` of input (never below one per core, never above
+    # target) keeps big corpora at full width while small inputs stay
+    # narrow. CPU-heavy UDF stages pass a smaller bytes_per_part: their
+    # per-byte cost is orders of magnitude above a scan's, so a byte
+    # budget sized for scans leaves them running a couple of huge tasks
+    # per core with a long straggler tail (measured: the shingle UDF at
+    # 5 partitions held a 4-core session at ~1.5 busy cores for 20 s).
     try:
         size_bytes = int(
             df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
         )
-        by_size = max(sc.defaultParallelism, size_bytes // (8 << 20) + 1)
+        by_size = max(sc.defaultParallelism, size_bytes // bytes_per_part + 1)
         target = min(target, by_size)
     except Exception:  # noqa: BLE001 - unknown stats → keep full width
         pass
