@@ -116,6 +116,11 @@ def main(argv: list[str] | None = None) -> int:
     if args.report:
         with open(args.report, "w") as f:
             f.write(line + "\n")
+    # durable per-stage + per-partition lineage next to the stage tables
+    # (driver-local JSON; no Spark job, so it never taxes the timed wall)
+    pipe.catalog.write_run_report(
+        os.path.join(args.warehouse, "_run_metrics.json")
+    )
     res.metrics.show(32, False)
     spark.stop()
     return 0

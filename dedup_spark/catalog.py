@@ -157,15 +157,62 @@ class StageCatalog:
         reads, NO Spark job. ~19 per-stage count() jobs used to add
         seconds of serial wall time per run, a pure scaling-efficiency
         tax."""
+        parts = self.partition_stats(name)
+        return sum(p["rows"] for p in parts), len(parts)
+
+    def partition_stats(self, name: str) -> list[dict]:
+        """Per-partition lineage of a stage table: one record per output
+        file with its row count and byte size, read from parquet footers
+        (driver-local metadata, no Spark job). This is the per-PARTITION
+        half of the north rule's "per-partition lineage + throughput
+        metrics" — stage-level rows/wall/partitions live in ``metrics``;
+        this exposes how those rows are distributed across files, which
+        is what a skew investigation actually needs."""
         import pyarrow.parquet as pq
 
         path = self._path(name)
-        rows, files = 0, 0
+        out = []
         for entry in sorted(os.listdir(path)):
             if entry.endswith(".parquet"):
-                rows += pq.read_metadata(os.path.join(path, entry)).num_rows
-                files += 1
-        return rows, files
+                fp = os.path.join(path, entry)
+                out.append(
+                    {
+                        "file": entry,
+                        "rows": pq.read_metadata(fp).num_rows,
+                        "bytes": os.path.getsize(fp),
+                    }
+                )
+        return out
+
+    def write_run_report(self, path: str) -> None:
+        """Durable JSON run report: per-stage metrics (incl. the stage
+        timeline) plus per-partition lineage for every checkpointed
+        stage. Driver-local file ops only — zero Spark jobs, so it adds
+        no serial tax to the measured pipeline wall. Call after
+        ``flush()`` (it flushes itself to be safe)."""
+        self.flush()
+        report = {
+            "fingerprint": self.fingerprint,
+            "stages": [
+                {
+                    "stage": m.stage,
+                    "rows_out": m.rows_out,
+                    "wall_ms": m.wall_ms,
+                    "partitions": m.partitions,
+                    "reused": m.reused,
+                    "t_start": m.t_start,
+                    "t_end": m.t_end,
+                    "partition_lineage": (
+                        self.partition_stats(m.stage)
+                        if self.table_format == "parquet"
+                        else []
+                    ),
+                }
+                for m in self.metrics
+            ],
+        }
+        with open(path, "w") as f:
+            json.dump(report, f)
 
     def stage(self, name: str, build: Callable[[], DataFrame]) -> DataFrame:
         """Build-or-resume: skip ``build`` when a fingerprint-matching

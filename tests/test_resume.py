@@ -55,6 +55,32 @@ def test_pipeline_resume_equivalence(spark, tmp_path):
     assert {"transcripts", "shingle_sets", "shingle_ann", "signatures"} <= reused
 
 
+def test_partition_lineage_and_run_report(spark, tmp_path):
+    """Per-partition lineage (north rule): every checkpointed stage
+    exposes per-file row/byte counts whose totals match the stage
+    metric, and write_run_report dumps them durably with the stage
+    timeline."""
+    import json
+
+    cat = StageCatalog(spark, str(tmp_path), "fp1")
+    cat.stage("t", lambda: spark.range(100).repartition(4))
+    cat.flush()
+    parts = cat.partition_stats("t")
+    assert sum(p["rows"] for p in parts) == 100
+    assert all(p["bytes"] > 0 and p["file"].endswith(".parquet") for p in parts)
+    m = next(m for m in cat.metrics if m.stage == "t")
+    assert m.partitions == len(parts)
+    assert m.t_end >= m.t_start >= 0.0
+
+    report_path = str(tmp_path / "report.json")
+    cat.write_run_report(report_path)
+    with open(report_path) as f:
+        rep = json.load(f)
+    assert rep["fingerprint"] == "fp1"
+    (st,) = [s for s in rep["stages"] if s["stage"] == "t"]
+    assert sum(p["rows"] for p in st["partition_lineage"]) == 100
+
+
 def test_iceberg_backend_requires_real_catalog(spark, tmp_path):
     """The iceberg branch never silently fakes capability: without an
     Iceberg catalog configured on the session it refuses to construct."""
