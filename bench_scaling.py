@@ -100,6 +100,10 @@ def run_once(cores: int, turns: str, tag: str = "") -> dict:
     cmd = [
         "taskset", "-c", CPUSET[cores],
         "spark-submit", "--master", f"local[{cores}]", "--driver-memory", MEM,
+        # throughput GC at every level (same-config protocol; see
+        # session.py — under spark-submit the session-factory conf can't
+        # reach the already-started JVM, so it must be passed here)
+        "--conf", "spark.driver.extraJavaOptions=-XX:+UseParallelGC",
         # shuffle/spill on tmpfs (same rationale as session.py's local-mode
         # default — the sandbox block device is heavily throttled and
         # serializes multi-core shuffle I/O; a cluster's NVMe scratch is

@@ -62,10 +62,25 @@ def shingle_sets(
     ).withColumn("n_shingles", F.size("shingles"))
 
 
-def exploded_shingles(sets_df: DataFrame) -> DataFrame:
-    """(conv_id, shingles[]) → (conv_id, shingle) — one row per distinct
-    shingle per conversation."""
-    return sets_df.select("conv_id", F.explode("shingles").alias("shingle"))
+def exploded_shingles(sets_df: DataFrame, id_col: str = "conv_id") -> DataFrame:
+    """(conv_id, shingles[]) → (id, shingle) — one row per distinct
+    shingle per conversation.
+
+    ``id_col="cid"`` emits an 8-byte xxhash64 surrogate of conv_id
+    instead of the string id: the explode output is shuffled twice by
+    the pipeline (annotate-by-shingle, regroup-by-conv) at ×set-size
+    row counts, and a ~12-char string id is ~3× the shuffle bytes of a
+    fixed int64 — measured as a material share of the two biggest
+    exchanges. Callers restore real ids by joining a (cid, conv_id)
+    dict (tiny: one row per conversation) after aggregation; xxhash64
+    collisions across conv_ids are birthday-bounded below 1e-7 even at
+    10^9 conversations (same argument as substring.anchor_matches)."""
+    if id_col == "conv_id":
+        return sets_df.select("conv_id", F.explode("shingles").alias("shingle"))
+    return sets_df.select(
+        F.xxhash64(F.col("conv_id").cast("string")).alias(id_col),
+        F.explode("shingles").alias("shingle"),
+    )
 
 
 def shingle_document_frequency(exploded: DataFrame) -> DataFrame:
@@ -308,7 +323,7 @@ def annotate_shingle_df_join(exploded: DataFrame) -> DataFrame:
     known scale exposure (window groups get no AQE skew splitting)."""
     sdf = shingle_document_frequency(exploded)
     return exploded.join(sdf.hint("shuffle_hash"), "shingle").select(
-        "conv_id", "shingle", "df"
+        *exploded.columns, "df"
     )
 
 
@@ -323,16 +338,28 @@ def df_histogram_from_ann(ann: DataFrame) -> DataFrame:
     )
 
 
-def informative_from_ann(ann: DataFrame, lo: int, hi: int) -> DataFrame:
+def informative_from_ann(
+    ann: DataFrame,
+    lo: int,
+    hi: int,
+    id_col: str = "conv_id",
+    conv_dict: DataFrame | None = None,
+) -> DataFrame:
     """:func:`informative_and_repeated` over the pre-annotated exploded
     table — no df join at all: filter df >= 2, regroup by conversation.
     Same output contract (conv_id, shingles [informative, sorted],
     n_shingles, n_repeated); conversations whose every shingle is unique
-    vanish (empty-set guard analog, reference dedup.py:350)."""
+    vanish (empty-set guard analog, reference dedup.py:350).
+
+    With ``id_col="cid"`` the regroup shuffles the 8-byte surrogate key
+    (see :func:`exploded_shingles`) and ``conv_dict`` — a tiny
+    (conv_id, cid) table, one row per conversation — restores the real
+    id via a broadcast join AFTER aggregation, when there is one row per
+    conversation instead of one per shingle occurrence."""
     band = F.col("df").between(F.lit(lo), F.lit(hi))
-    return (
+    out = (
         ann.filter(F.col("df") >= 2)
-        .groupBy("conv_id")
+        .groupBy(id_col)
         .agg(
             F.array_sort(
                 F.collect_list(F.when(band, F.col("shingle")))
@@ -341,6 +368,15 @@ def informative_from_ann(ann: DataFrame, lo: int, hi: int) -> DataFrame:
         )
         .withColumn("n_shingles", F.size("shingles"))
     )
+    if id_col != "conv_id":
+        if conv_dict is None:
+            raise ValueError("conv_dict required when id_col != 'conv_id'")
+        # broadcast is right while the per-conversation dict fits an
+        # executor (it is ids only — GBs at 10^8 convs); beyond that drop
+        # the hint and this becomes an equi-shuffle of two already
+        # conv-sized tables, still ×set-size smaller than the regroup
+        out = out.join(F.broadcast(conv_dict), id_col).drop(id_col)
+    return out.select("conv_id", "shingles", "n_shingles", "n_repeated")
 
 
 def repeated_df_from_ann(ann: DataFrame) -> DataFrame:

@@ -91,7 +91,13 @@ class DedupPipeline:
                 transcripts, cfg, total_chars=corpus_chars
             ),
         )
-        exploded = shingling.exploded_shingles(sets_df)  # cheap view, not checkpointed
+        # cheap view, not checkpointed; "cid" = 8-byte conv surrogate so
+        # the two ×set-size shuffles below (annotate-by-shingle,
+        # regroup-by-conv) move fixed-width longs instead of id strings
+        exploded = shingling.exploded_shingles(sets_df, id_col="cid")
+        conv_dict = transcripts.select(
+            "conv_id", F.xxhash64(F.col("conv_id").cast("string")).alias("cid")
+        )
         # df annotation via ONE repartition-by-shingle + window count —
         # no df join anywhere downstream. The former shingle_df stage fed
         # a join whose df>=2 side measured 26.6M rows at 12k convs:
@@ -104,7 +110,25 @@ class DedupPipeline:
             if cfg.df_annotation_mode == "window"
             else shingling.annotate_shingle_df_join  # skew-safe fallback
         )
-        ann = cat.stage("shingle_ann", lambda: annotate(exploded))
+        # In manual df-band mode NO consumer ever reads the df == 1 rows
+        # of the annotated table (informative_from_ann and
+        # repeated_df_from_ann both start with df >= 2, and the
+        # histogram is skipped) — and corpus-unique shingles are the
+        # overwhelming majority of the explode (measured 122.5M → 26.6M
+        # rows at a 12k-conv corpus), so checkpointing them serializes,
+        # writes, and re-deserializes ~5× the bytes any downstream stage
+        # touches. Auto band modes keep the full table (the histogram
+        # needs every df). Resume safety: df_band_mode is part of the
+        # config fingerprint, so switching modes recomputes the stage.
+        manual_band = cfg.df_band_mode == "manual" and not cfg.auto_df_band
+        ann = cat.stage(
+            "shingle_ann",
+            lambda: (
+                annotate(exploded).filter(F.col("df") >= 2)
+                if manual_band
+                else annotate(exploded)
+            ),
+        )
         # df band: manual mode (the default) needs no histogram — the
         # collect is a full scan of the biggest table in the pipeline,
         # and it sits on the critical path (driver blocks). Only the
@@ -121,7 +145,9 @@ class DedupPipeline:
         # rides the SAME filter+regroup that builds the informative sets
         informative = cat.stage(
             "informative_sets",
-            lambda: shingling.informative_from_ann(ann, lo, hi),
+            lambda: shingling.informative_from_ann(
+                ann, lo, hi, id_col="cid", conv_dict=conv_dict
+            ),
         )
         signatures = cat.stage(
             "signatures", lambda: lsh.compute_signatures(informative, cfg)

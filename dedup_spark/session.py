@@ -81,19 +81,32 @@ def get_spark(
             "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
             os.environ.get("SPARK_GRAFT_INITIAL_PARTS", "128"),
         )
-        # 16m advisory (default 64m): AQE was coalescing the big
+        # 8m advisory (default 64m): AQE was coalescing the big
         # shuffles (informative regroup, position classes) down to ~2
         # waves of large tasks per core, so every stage ended in a long
         # straggler tail — measured 46s of <N-cores-busy time per
-        # pipeline run at local[4], halved to 22s by 16m (wall 432s →
-        # 400s, outputs identical). Finer tasks cost scheduling overhead
-        # that is noise next to the reclaimed tails at local core
-        # counts; large-cluster deploys (where per-task overhead ×
-        # 10^5 partitions is real money) should raise this via submit
-        # conf along with initialPartitionNum.
+        # pipeline run at local[4] at 64m, halved by 16m, and 8m buys a
+        # further ~3.5% wall (outputs identical at every setting).
+        # Finer tasks cost scheduling overhead that is noise next to
+        # the reclaimed tails at local core counts; large-cluster
+        # deploys (where per-task overhead × 10^5 partitions is real
+        # money) should raise this via submit conf along with
+        # initialPartitionNum.
         .config(
             "spark.sql.adaptive.advisoryPartitionSizeInBytes",
-            os.environ.get("SPARK_GRAFT_ADVISORY", "16m"),
+            os.environ.get("SPARK_GRAFT_ADVISORY", "8m"),
+        )
+        # Throughput GC for a batch pipeline: G1's concurrent
+        # mark/refinement threads compete with executor task threads for
+        # the same cores — swapping to ParallelGC measured 6% faster
+        # pipeline wall at local[4] (260.8s vs 274.6s combined with the
+        # 8m advisory; identical outputs). Effective in python-driver
+        # mode only — under spark-submit the JVM is already running, so
+        # bench_scaling/spark-submit deploys pass the same flag as a
+        # submit conf.
+        .config(
+            "spark.driver.extraJavaOptions",
+            os.environ.get("SPARK_GRAFT_GC", "-XX:+UseParallelGC"),
         )
     )
     # Shuffle/spill on tmpfs when available: the sandbox's block device is
