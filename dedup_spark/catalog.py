@@ -189,30 +189,44 @@ class StageCatalog:
         timeline) plus per-partition lineage for every checkpointed
         stage. Driver-local file ops only — zero Spark jobs, so it adds
         no serial tax to the measured pipeline wall. Call after
-        ``flush()`` (it flushes itself to be safe)."""
+        ``flush()`` (it flushes itself to be safe).
+
+        Pure observability: a failure here (unwritable path, a stage dir
+        missing from the warehouse) is logged as a warning, never
+        propagated — it must not turn an otherwise-successful run into a
+        failed exit after the timed work is done. ``flush()`` errors DO
+        propagate (checkpoint durability is correctness, not telemetry)."""
         self.flush()
-        report = {
-            "fingerprint": self.fingerprint,
-            "stages": [
-                {
-                    "stage": m.stage,
-                    "rows_out": m.rows_out,
-                    "wall_ms": m.wall_ms,
-                    "partitions": m.partitions,
-                    "reused": m.reused,
-                    "t_start": m.t_start,
-                    "t_end": m.t_end,
-                    "partition_lineage": (
-                        self.partition_stats(m.stage)
-                        if self.table_format == "parquet"
-                        else []
-                    ),
-                }
-                for m in self.metrics
-            ],
-        }
-        with open(path, "w") as f:
-            json.dump(report, f)
+        try:
+            report = {
+                "fingerprint": self.fingerprint,
+                "stages": [
+                    {
+                        "stage": m.stage,
+                        "rows_out": m.rows_out,
+                        "wall_ms": m.wall_ms,
+                        "partitions": m.partitions,
+                        "reused": m.reused,
+                        "t_start": m.t_start,
+                        "t_end": m.t_end,
+                        "partition_lineage": (
+                            self.partition_stats(m.stage)
+                            if self.table_format == "parquet"
+                            else []
+                        ),
+                    }
+                    for m in self.metrics
+                ],
+            }
+            with open(path, "w") as f:
+                json.dump(report, f)
+        except Exception:  # noqa: BLE001 - observability only
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "run-report write to %s failed (observability only; "
+                "pipeline outputs are unaffected)", path, exc_info=True,
+            )
 
     def stage(self, name: str, build: Callable[[], DataFrame]) -> DataFrame:
         """Build-or-resume: skip ``build`` when a fingerprint-matching

@@ -44,11 +44,39 @@ def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 # shared subplan is computed exactly once per (session, sf_dir). This is
 # the driver-query analog of the pipeline's StageCatalog checkpoints
 # (which already made the pipeline path immune).
+#
+# Staleness contract: entries live for the session, so the parquet under
+# ``sf_dir`` must be IMMUTABLE while the session runs (true for the
+# driver's read-only testdata). As a cheap guard, the directory's
+# max-mtime is snapshotted on first use; a later call that observes a
+# changed mtime fails loudly instead of serving stale checkpoints.
 _SHARED: dict[tuple, DataFrame] = {}
+_SHARED_MTIME: dict[tuple, float] = {}
+
+
+def _sf_dir_mtime(sf_dir: str) -> float:
+    import os
+
+    try:
+        entries = [os.path.join(sf_dir, e) for e in os.listdir(sf_dir)]
+        return max((os.path.getmtime(p) for p in entries), default=0.0)
+    except OSError:
+        return 0.0  # non-local path (hdfs/s3) — contract is docs-only there
 
 
 def _shared(spark: SparkSession, sf_dir: str, key: str, build) -> DataFrame:
     mk = (spark, sf_dir, key)
+    smk = (spark, sf_dir)
+    seen = _SHARED_MTIME.get(smk)
+    now = _sf_dir_mtime(sf_dir)
+    if seen is None:
+        _SHARED_MTIME[smk] = now
+    elif now != seen:
+        raise RuntimeError(
+            f"testdata under {sf_dir} changed mid-session (mtime {seen} → "
+            f"{now}); memoized subplans would be stale — restart the "
+            "session (sf_dir must be immutable for a session's lifetime)"
+        )
     df = _SHARED.get(mk)
     if df is None:
         from dedup_spark.util import eager_ckpt
@@ -612,10 +640,12 @@ def _q_top_revenue_orders(spark, sf_dir):
 #
 # The suffix-array substring operators (operators/substring.py,
 # operators/intervals.py) over ``documents`` treated as one-doc
-# transcripts. Spark joins anchors on xxhash64 of the w-char window; the
-# DuckDB oracle joins on the window STRING itself — outputs agree because
-# hash equality ⇔ string equality (64-bit collisions aside), so the
-# custom kernels are oracle-checkable end to end.
+# transcripts. Everything is BYTE-indexed: Spark joins anchors on
+# xxhash64 of the w-BYTE window of the UTF-8 encoding; the DuckDB oracle
+# joins on the window's hex string (see _ANCHORS_SQL) — outputs agree
+# because hex equality ⇔ byte equality ⇔ hash equality (64-bit
+# collisions aside), so the custom kernels are oracle-checkable end to
+# end, non-ASCII documents included.
 
 _SUB_W = 25        # anchor width (suffix-prefix chars)
 _SUB_CAP = 64      # occurrence cap per suffix key (skew guard)
@@ -805,12 +835,21 @@ def _q_interval_marks(spark, sf_dir):
 
 
 _ANCHORS_SQL = f"""
+-- BYTE-space gram mirror: byte p of the UTF-8 encoding occupies hex
+-- chars [2p-1, 2p] of hex(encode(text)), so substr(hx, 2*i-1, 2*w) is
+-- the w-byte window at byte offset i — the exact mirror of the Spark
+-- side's xxhash64(substring(binary, i, w)) join key (hex-string
+-- equality ⇔ byte equality ⇔ hash equality). strlen() is the BYTE
+-- length in DuckDB. Non-ASCII docs participate fully on both sides
+-- (the round-3 char==byte exclusion gate is gone).
+docs_hex AS (
+  SELECT doc_id, hex(encode(text)) AS hx, strlen(text) AS bl FROM documents
+),
 grams AS (
-  SELECT doc_id AS conv_id, u.i AS pos, substr(text, cast(u.i AS int), {_SUB_W}) AS g
-  FROM documents, unnest(range(1, len(text) - {_SUB_W} + 2)) AS u(i)
-  -- len = strlen mirrors the Spark side's non-ASCII exclusion gate
-  -- (byte positions == char positions only on ASCII text)
-  WHERE len(text) >= {_SUB_W} AND len(text) = strlen(text)
+  SELECT doc_id AS conv_id, u.i AS pos,
+         substr(hx, 2 * cast(u.i AS int) - 1, {2 * _SUB_W}) AS g
+  FROM docs_hex, unnest(range(1, bl - {_SUB_W} + 2)) AS u(i)
+  WHERE bl >= {_SUB_W}
 ),
 ok AS (
   SELECT g FROM grams GROUP BY g HAVING count(*) > 1 AND count(*) <= {_SUB_CAP}
@@ -917,11 +956,16 @@ spans_k AS (
 )
 
 _POSCLS_SQL = f"""
+-- byte-space 17-byte windows via the same hex mirror as _ANCHORS_SQL
+-- (distinct CTE name: _SCORED_SQL concatenates both fragments)
+docs_hex17 AS (
+  SELECT doc_id, hex(encode(text)) AS hx, strlen(text) AS bl FROM documents
+),
 grams17 AS (
-  SELECT doc_id AS conv_id, u.i AS pos, substr(text, cast(u.i AS int), {K}) AS g
-  FROM documents, unnest(range(1, len(text) - {K} + 2)) AS u(i)
-  -- len = strlen mirrors the Spark side's non-ASCII exclusion gate
-  WHERE len(text) >= {K} AND len(text) = strlen(text)
+  SELECT doc_id AS conv_id, u.i AS pos,
+         substr(hx, 2 * cast(u.i AS int) - 1, {2 * K}) AS g
+  FROM docs_hex17, unnest(range(1, bl - {K} + 2)) AS u(i)
+  WHERE bl >= {K}
 ),
 gdf AS (SELECT g, count(DISTINCT conv_id) AS df FROM grams17 GROUP BY g),
 poscls AS (
@@ -990,7 +1034,7 @@ best AS (
 _MARKS_SQL = (
     _BEST_SQL
     + f""",
-doclen AS (SELECT doc_id, len(text) AS dl FROM documents),
+doclen AS (SELECT doc_id, strlen(text) AS dl FROM documents),  -- BYTE length
 with_len AS (
   SELECT b.*, la.dl AS len_a, lb.dl AS len_b,
          (a_end - a_start + 1)::double / la.dl AS pct_a,

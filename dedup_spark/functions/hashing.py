@@ -71,12 +71,22 @@ def char_shingles(text: str, k: int) -> np.ndarray:
     return np.sort(np.unique(splitmix64(h)).view(np.int64))
 
 
-def char_window_hashes(text: str, k: int) -> np.ndarray:
-    """ALL hashed k-char windows of ``text`` in position order
+def char_window_hashes(text: str | bytes, k: int) -> np.ndarray:
+    """ALL hashed k-byte windows of ``text`` in position order
     (non-distinct) → int64[]. Index i is the window starting at byte
     offset i (0-based). Same hash family as :func:`char_shingles`, so
-    ``unique(char_window_hashes(t, k)) == char_shingles(t, k)``."""
-    b = np.frombuffer(text.encode("utf-8", "surrogatepass"), dtype=np.uint8)
+    ``unique(char_window_hashes(t, k)) == char_shingles(t, k)``.
+
+    Accepts str (UTF-8-encoded first) or raw bytes — the byte form lets
+    callers hash byte-sliced document fragments (scoring's span-range
+    position classes) in the identical hash space as whole-doc
+    shingling, which also enumerates every byte window."""
+    raw = (
+        text
+        if isinstance(text, (bytes, bytearray))
+        else text.encode("utf-8", "surrogatepass")
+    )
+    b = np.frombuffer(raw, dtype=np.uint8)
     n = b.shape[0]
     if n < k:
         return np.empty(0, dtype=np.int64)

@@ -32,18 +32,19 @@ def make_shingle_udf(cfg: DedupConfig):
 
 
 def make_window_hash_udf(cfg: DedupConfig):
-    """text → array<long>: EVERY k-shingle hash in POSITION ORDER
-    (index i ⇔ 1-based start position i+1, non-distinct), in the same
-    polynomial hash space as :func:`make_shingle_udf` — so a
-    ``posexplode`` of the result joins directly against the pipeline's
-    shingle_df table.
+    """text-or-bytes → array<long>: EVERY k-byte-window hash in
+    POSITION ORDER (index i ⇔ 1-based byte position i+1, non-distinct),
+    in the same polynomial hash space as :func:`make_shingle_udf` — so
+    a ``posexplode`` of the result joins directly against the
+    pipeline's shingle_df table.
 
     This is the S4 analog (per-position k-mer retention, reference
     kmer_utilities.py:53-87): where the reference maps dumped k-mers
     back to contig positions with bwa, we simply never drop the
-    position. Positions are byte offsets of the utf-8 encoding — equal
-    to char offsets on ASCII corpora (the reference's input is ASCII
-    DNA; our synthetic corpora are ASCII)."""
+    position. Positions are byte offsets of the UTF-8 encoding — the
+    substring family's universal coordinate system (non-ASCII docs
+    included). Accepts string OR binary columns; binary input (e.g.
+    byte-sliced span fragments) is hashed as-is."""
     k = cfg.shingle_k
 
     @F.pandas_udf(T.ArrayType(T.LongType()))

@@ -21,10 +21,18 @@ Interval merge (contig.py:168-178): overlapping marks on one doc union
 into maximal intervals via a running-max window scan.
 
 Turn-level emit: transcripts are never rewritten (per-turn text equality
-invariant) — a turn is dropped iff its character span in the assembled
-doc lies entirely inside a merged duplicated interval; a conversation is
-dropped entirely when its surviving length falls to ``min_doc_len`` or
-below (the min_sequence_len=5000 emit gate, contig.py:51,188-191).
+invariant) — a turn is dropped iff its span in the assembled doc lies
+entirely inside a merged duplicated interval; a conversation is dropped
+entirely when its surviving length falls to ``min_doc_len`` or below
+(the min_sequence_len=5000 emit gate, contig.py:51,188-191).
+
+Coordinate system: ALL positions and lengths in this module are BYTES
+of the UTF-8 encoding — matching the byte offsets the suffix-array pass
+emits (substring.suffix_keys), so non-ASCII documents get correct
+interval decisions and turn trimming (on pure-ASCII text bytes == chars
+and nothing changes). ``min_doc_len`` and ``end_buffer`` are therefore
+byte thresholds — the honest analog of the reference's base-pair counts
+(contig.py:51), which are bytes too.
 """
 
 from __future__ import annotations
@@ -43,8 +51,12 @@ def decide_intervals(
 
     kind ∈ {'full', 'edge5', 'edge3'}; pairs where neither side admits a
     rule produce no mark (the reference's give-up branch, dedup.py:285).
+
+    Byte space: span positions are byte offsets, so the coverage
+    denominators and edge distances use the doc's BYTE length (char
+    doc_len would inflate pct/edge math on non-ASCII docs).
     """
-    lens = transcripts.select("conv_id", "doc_len")
+    lens = transcripts.select("conv_id", F.octet_length("doc").alias("doc_len"))
     j = (
         best_spans.join(
             lens.select(
@@ -128,24 +140,25 @@ def merge_intervals(marks: DataFrame) -> DataFrame:
 
 def turn_offsets(turns: DataFrame) -> DataFrame:
     """turns → + (turn_start, turn_end): the turn's 1-based inclusive
-    character span inside the assembled doc (separator-aware, matching
-    assemble_transcripts' concat_ws order)."""
-    sep_len = len(TURN_SEP)
+    BYTE span inside the assembled doc's UTF-8 encoding
+    (separator-aware, matching assemble_transcripts' concat_ws order) —
+    directly comparable to the suffix pass's byte intervals."""
+    sep_len = len(TURN_SEP.encode("utf-8"))
     win = W.partitionBy("conv_id").orderBy("turn_idx")
-    prior = F.sum(F.length("text") + sep_len).over(
+    prior = F.sum(F.octet_length("text") + sep_len).over(
         win.rowsBetween(W.unboundedPreceding, -1)
     )
     start = F.coalesce(prior, F.lit(0)) + 1
     return turns.withColumn("turn_start", start).withColumn(
-        "turn_end", start + F.length("text") - 1
+        "turn_end", start + F.octet_length("text") - 1
     )
 
 
 def trim_turns(turns: DataFrame, merged: DataFrame, cfg: DedupConfig) -> DataFrame:
-    """Drop turns whose char span lies inside a duplicated interval;
-    drop whole conversations whose surviving length ≤ ``min_doc_len``
-    (contig.py:134-191 emit contract). Surviving rows pass through
-    verbatim — per-turn text equality invariant."""
+    """Drop turns whose byte span lies inside a duplicated interval;
+    drop whole conversations whose surviving BYTE length ≤
+    ``min_doc_len`` (contig.py:134-191 emit contract). Surviving rows
+    pass through verbatim — per-turn text equality invariant."""
     t = turn_offsets(turns)
     covered = (
         t.join(merged, "conv_id")
@@ -157,9 +170,9 @@ def trim_turns(turns: DataFrame, merged: DataFrame, cfg: DedupConfig) -> DataFra
         .dropDuplicates()
     )
     kept = t.join(covered, ["conv_id", "turn_idx"], "left_anti")
-    sep_len = len(TURN_SEP)
+    sep_len = len(TURN_SEP.encode("utf-8"))
     surviving_len = kept.groupBy("conv_id").agg(
-        (F.sum(F.length("text") + sep_len) - sep_len).alias("kept_len")
+        (F.sum(F.octet_length("text") + sep_len) - sep_len).alias("kept_len")
     )
     too_short = surviving_len.filter(F.col("kept_len") <= cfg.min_doc_len).select(
         "conv_id"

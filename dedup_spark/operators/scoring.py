@@ -45,17 +45,14 @@ from dedup_spark.config import DedupConfig
 
 def jvm_window_keys(transcripts: DataFrame, k: int) -> DataFrame:
     """transcripts → (conv_id, pos, key): xxhash64 of every k-byte
-    window, 1-based positions. Same fused explode shape as
-    substring.suffix_keys (generator + projection in one codegen stage),
-    and like it slices a BINARY copy — string substr is O(pos) char
-    scanning, O(doc_len²) per doc over all windows. Byte positions ==
-    char positions only on ASCII text, so docs whose char/byte lengths
-    disagree are excluded (same gate + report contract as
-    substring.suffix_keys / substring.non_ascii_report)."""
+    window, 1-based BYTE positions of the UTF-8 encoding. Same fused
+    explode shape as substring.suffix_keys (generator + projection in
+    one codegen stage), and like it slices a BINARY copy — string
+    substr is O(pos) char scanning, O(doc_len²) per doc over all
+    windows. The whole family is byte-indexed (positions, spans,
+    interval/trim arithmetic), so non-ASCII docs participate fully."""
     return (
-        transcripts.filter(
-            (F.length("doc") >= k) & (F.length("doc") == F.octet_length("doc"))
-        )
+        transcripts.filter(F.octet_length("doc") >= k)
         .select("conv_id", F.encode("doc", "UTF-8").alias("b"))
         .select(
             "conv_id",
@@ -238,12 +235,21 @@ def span_position_classes(
     # both sides, and the static pick was a broadcast of the TRANSCRIPT
     # DOC STRINGS — tens of MB here, unbounded at corpus scale, and a
     # measured flaky OOM at local[32]/8g. Sort-merge sorts ~|convs| rows.
+    # BYTE-space slice: span positions are byte offsets, so fragments
+    # are cut from the binary encoding (cutting a multibyte char at a
+    # fragment edge is harmless — every k-byte window STARTING inside
+    # [start, end] is intact, and those are exactly the positions
+    # scoring reads). The window-hash kernel consumes the bytes
+    # directly — same hash space as the whole-doc shingle UDF, which
+    # also enumerates every byte window.
     frags = (
         ivals.join(transcripts.select("conv_id", "doc").hint("merge"), "conv_id")
         .select(
             "conv_id",
             "start",
-            F.expr(f"substring(doc, start, end - start + {k})").alias("frag"),
+            F.expr(
+                f"substring(encode(doc, 'UTF-8'), start, `end` - start + {k})"
+            ).alias("frag"),
         )
         .withColumn("h", udf(F.col("frag")))
         .select("conv_id", "start", F.posexplode("h").alias("i", "key"))

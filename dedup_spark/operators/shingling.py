@@ -72,9 +72,12 @@ def exploded_shingles(sets_df: DataFrame, id_col: str = "conv_id") -> DataFrame:
     row counts, and a ~12-char string id is ~3× the shuffle bytes of a
     fixed int64 — measured as a material share of the two biggest
     exchanges. Callers restore real ids by joining a (cid, conv_id)
-    dict (tiny: one row per conversation) after aggregation; xxhash64
-    collisions across conv_ids are birthday-bounded below 1e-7 even at
-    10^9 conversations (same argument as substring.anchor_matches)."""
+    dict (tiny: one row per conversation) after aggregation. An
+    xxhash64 collision across conv_ids would silently merge two
+    conversations; the birthday bound is ≈ n²/2^65 — < 1e-7 only up to
+    ~2×10^6 conversations and ≈ 3% at 10^9 — so the pipeline LOUDLY
+    guards it (countDistinct(cid) vs count(conv_id) in the
+    shingle_sets stage closure) instead of assuming it away."""
     if id_col == "conv_id":
         return sets_df.select("conv_id", F.explode("shingles").alias("shingle"))
     return sets_df.select(

@@ -7,10 +7,13 @@ alignment.py:284-372), done seed-and-chain style over suffix-prefix
 keys instead of shelling out to an aligner:
 
 1. **Suffix keys** — every transcript suffix is keyed by the hash of
-   its first ``anchor_w`` characters (`xxhash64(substr(doc, i, w))`,
-   all JVM-side). Two suffixes agree on a key iff they share a length-w
-   prefix, so grouping by key is exactly the bucketing a suffix array's
-   first-w-byte radix pass produces.
+   its first ``anchor_w`` BYTES of the UTF-8 encoding
+   (`xxhash64(substring(bytes, i, w))`, all JVM-side). Two suffixes
+   agree on a key iff they share a length-w byte prefix, so grouping by
+   key is exactly the bucketing a suffix array's first-w-byte radix
+   pass produces. All positions in this family are 1-based byte
+   offsets, and downstream interval/trim arithmetic is byte-based too,
+   so non-ASCII documents get full substring-level dedup.
 2. **Anchor matches** — a self-join on the key yields cross-conversation
    anchor pairs ``(conv_a, conv_b, a_pos, b_pos)`` — the analog of
    minimap2's seed hits (one PAF line ≈ one chained run of these).
@@ -72,16 +75,13 @@ def suffix_keys(
     AQE re-splits, while production corpora should supply one of the
     first two."""
     w, stride = cfg.anchor_w, cfg.anchor_stride
-    # Byte-position safety gate: every downstream consumer of these
-    # positions (span slicing, interval pct denominators, turn trimming)
-    # does CHAR arithmetic, which only coincides with these byte offsets
-    # when the doc is pure ASCII. Docs where the two disagree are
-    # EXCLUDED from the substring pass (they still flow through
-    # whole-conversation dedup, which is byte-exact) and surface via
-    # :func:`non_ascii_report` — excluded, never silently wrong.
-    docs = transcripts.filter(
-        (F.length("doc") >= w) & (F.length("doc") == F.octet_length("doc"))
-    )
+    # The whole substring family operates in BYTE space end to end:
+    # positions here are byte offsets of the UTF-8 encoding, and every
+    # downstream consumer (span slicing, interval pct denominators,
+    # turn trimming) does byte arithmetic too — so non-ASCII documents
+    # participate fully (rounds 1-3 excluded them because downstream
+    # math was char-based; that gate is gone).
+    docs = transcripts.filter(F.octet_length("doc") >= w)
     if cfg.suffix_parts is not None:
         n_parts = cfg.suffix_parts
     elif total_chars is not None:
@@ -95,9 +95,8 @@ def suffix_keys(
     # UTF8 string is O(pos) (it must scan for char boundaries), which
     # makes whole-doc suffix enumeration O(doc_len²) per doc — measured
     # 40× slower on ~9k-char docs. Binary substring is a byte-indexed
-    # O(w) slice. Positions are byte offsets (== char offsets on the
-    # ASCII corpora this engine targets; the reference's DNA input is
-    # ASCII too).
+    # O(w) slice. Positions are 1-based byte offsets of the UTF-8
+    # encoding (the pass's universal coordinate system).
     out = (
         docs.repartition(n_parts)
         .select("conv_id", F.encode("doc", "UTF-8").alias("b"))
@@ -150,20 +149,6 @@ def suffix_buckets(keys: DataFrame, cfg: DedupConfig) -> DataFrame:
                 F.slice("occs", 1, 0)  # type-preserving empty array
             ),
         )
-    )
-
-
-def non_ascii_report(transcripts: DataFrame) -> DataFrame:
-    """Conversations excluded from the substring pass because their char
-    and byte lengths disagree (non-ASCII text breaks the byte==char
-    position identity the pass relies on). Same observability contract
-    as the skew reports: excluded, never silent."""
-    return transcripts.filter(
-        F.length("doc") != F.octet_length("doc")
-    ).select(
-        "conv_id",
-        F.length("doc").alias("char_len"),
-        F.octet_length("doc").alias("byte_len"),
     )
 
 
@@ -248,8 +233,11 @@ def anchor_matches(
     # its transcripts stage) — deriving it from ``keys`` would re-scan
     # and re-shuffle the ×doc_len exploded table just to recover ids that
     # exist compactly upstream. xxhash64 surrogate collisions across
-    # conv_ids would misjoin; at 64 bits the birthday bound keeps the
-    # collision probability < 1e-7 even at 10^9 conversations.
+    # conv_ids would misjoin; the birthday bound is ≈ n²/2^65 — < 1e-7
+    # only up to ~2×10^6 conversations, ≈ 3% at 10^9 — which is why the
+    # pipeline loudly guards the surrogate (countDistinct(cid) vs
+    # count(conv_id), pipeline.build_shingle_sets) before any pass that
+    # keys on it runs.
     conv_src = convs if convs is not None else keys
     conv_dict = conv_src.select("conv_id").dropDuplicates().select(
         F.col("conv_id"), cid.alias("cid")

@@ -58,7 +58,6 @@ class PipelineResult:
     interval_marks: DataFrame | None = None
     trimmed_turns: DataFrame | None = None
     anchor_skew: DataFrame | None = None
-    non_ascii: DataFrame | None = None
 
 
 class DedupPipeline:
@@ -79,18 +78,38 @@ class DedupPipeline:
         pool = ThreadPoolExecutor(max_workers=6)
 
         transcripts = cat.stage("transcripts", lambda: assemble_transcripts(turns))
-        # one tiny agg over the checkpointed transcripts sizes every
-        # char-cost-proportional stage (shingle UDF now; suffix explode
-        # reuses its own candidate-restricted sum)
-        corpus_chars = int(
-            transcripts.agg(F.sum("doc_len")).collect()[0][0] or 0
-        )
-        sets_df = cat.stage(
-            "shingle_sets",
-            lambda: shingling.shingle_sets(
-                transcripts, cfg, total_chars=corpus_chars
-            ),
-        )
+
+        def build_shingle_sets() -> DataFrame:
+            # ONE tiny agg over the checkpointed transcripts, inside the
+            # stage closure so a fully-resumed run never executes it
+            # (an unconditional collect here was a Spark job on the
+            # serial driver path even when every stage was reused). It
+            # sizes the char-cost-proportional shingle UDF stage AND
+            # loudly guards the 8-byte conv_id surrogate: an xxhash64
+            # collision across conv_ids would silently merge two
+            # conversations' shingle sets (birthday bound ≈ n²/2^65 —
+            # negligible below ~10^7 convs but ~3% at 10^9), so any
+            # cid-collision fails fast here instead.
+            row = transcripts.agg(
+                F.sum("doc_len").alias("chars"),
+                F.count(F.lit(1)).alias("n_convs"),
+                F.countDistinct(
+                    F.xxhash64(F.col("conv_id").cast("string"))
+                ).alias("n_cids"),
+            ).collect()[0]
+            if int(row["n_cids"]) != int(row["n_convs"]):
+                raise RuntimeError(
+                    f"conv_id surrogate collision: {row['n_convs']} "
+                    f"conversations hash to {row['n_cids']} distinct "
+                    "xxhash64 cids — rerun with string conv ids "
+                    "(exploded_shingles id_col='conv_id') or widen the "
+                    "surrogate"
+                )
+            return shingling.shingle_sets(
+                transcripts, cfg, total_chars=int(row["chars"] or 0)
+            )
+
+        sets_df = cat.stage("shingle_sets", build_shingle_sets)
         # cheap view, not checkpointed; "cid" = 8-byte conv surrogate so
         # the two ×set-size shuffles below (annotate-by-shingle,
         # regroup-by-conv) move fixed-width longs instead of id strings
@@ -264,14 +283,11 @@ class DedupPipeline:
                     "anchor_skew", lambda: substring.anchor_skew_report(key_occ, cfg)
                 )
             )
-            # conversations excluded from the byte-position substring
-            # pass (non-ASCII text) — excluded, never silent
-            nonascii_f = pool.submit(
-                lambda: cat.stage(
-                    "non_ascii_report",
-                    lambda: substring.non_ascii_report(cand_transcripts),
-                )
-            )
+            # (rounds 1-3 wrote a non_ascii_report stage here: docs whose
+            # char/byte lengths disagreed were EXCLUDED from the byte-
+            # position substring pass. The pass — positions, interval
+            # decisions, turn trimming — is now byte-indexed end to end,
+            # so nothing is excluded and the report is gone.)
             # the position-class df lookup side is chains-independent:
             # prebuild it on a pool thread so its scan+dedup of the
             # annotated table overlaps the chain stage's narrow window
@@ -331,7 +347,7 @@ class DedupPipeline:
                 "interval_marks",
                 lambda: intervals.decide_intervals(best_spans, transcripts, cfg),
             )
-            return anchor_f.result(), nonascii_f.result(), spans, marks
+            return anchor_f.result(), spans, marks
 
         try:
             # SPARK_GRAFT_SERIAL_BRANCHES=1 runs the two branches one
@@ -339,12 +355,12 @@ class DedupPipeline:
             # the pool, so no deadlock)
             if os.environ.get("SPARK_GRAFT_SERIAL_BRANCHES") == "1":
                 verified, clusters, ded_f, stats_f = branch_a()
-                anchor_skew, non_ascii, spans, marks = branch_b()
+                anchor_skew, spans, marks = branch_b()
             else:
                 fa = pool.submit(branch_a)
                 fb = pool.submit(branch_b)
                 verified, clusters, ded_f, stats_f = fa.result()
-                anchor_skew, non_ascii, spans, marks = fb.result()
+                anchor_skew, spans, marks = fb.result()
 
             merged = intervals.merge_intervals(marks)
             deduped = ded_f.result()
@@ -372,7 +388,6 @@ class DedupPipeline:
             interval_marks=marks,
             trimmed_turns=trimmed,
             anchor_skew=anchor_skew,
-            non_ascii=non_ascii,
         )
 
     @staticmethod

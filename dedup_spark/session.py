@@ -27,6 +27,18 @@ def get_spark(
     under_submit = "PYSPARK_GATEWAY_PORT" in os.environ
     if master is None and not under_submit:
         master = f"local[{cpus}]"
+    # Driver JVM options COMPOSE instead of replacing: a caller-supplied
+    # spark.driver.extraJavaOptions (extra_conf) keeps its flags (-Xss,
+    # GC logging, ...) with our GC choice appended — a plain
+    # builder.config would overwrite whichever side ran last.
+    # SPARK_GRAFT_GC carries the FULL GC/JVM flag string (documented
+    # contract: setting it replaces the default GC flag, not the user's
+    # other options); users relying on spark-defaults.conf for driver
+    # JVM options should pass them via extra_conf or SPARK_GRAFT_GC.
+    extra_conf = dict(extra_conf or {})
+    gc_opts = os.environ.get("SPARK_GRAFT_GC", "-XX:+UseParallelGC")
+    user_jvm = extra_conf.pop("spark.driver.extraJavaOptions", None)
+    driver_jvm_opts = f"{user_jvm} {gc_opts}" if user_jvm else gc_opts
     builder = SparkSession.builder.appName(app_name)
     if master is not None:
         builder = builder.master(master)
@@ -103,11 +115,9 @@ def get_spark(
         # 8m advisory; identical outputs). Effective in python-driver
         # mode only — under spark-submit the JVM is already running, so
         # bench_scaling/spark-submit deploys pass the same flag as a
-        # submit conf.
-        .config(
-            "spark.driver.extraJavaOptions",
-            os.environ.get("SPARK_GRAFT_GC", "-XX:+UseParallelGC"),
-        )
+        # submit conf. (Composition with caller options: see
+        # driver_jvm_opts above.)
+        .config("spark.driver.extraJavaOptions", driver_jvm_opts)
     )
     # Shuffle/spill on tmpfs when available: the sandbox's block device is
     # heavily throttled, which turns shuffle-heavy stages I/O-bound and

@@ -49,19 +49,18 @@ class TestSuffixKeys:
         df = _docs_df(spark, {"a": "short"})
         assert substring.suffix_keys(df, CFG).count() == 0
 
-    def test_non_ascii_doc_excluded_and_reported(self, spark):
-        """Byte-position safety gate: a doc whose char/byte lengths
-        disagree is excluded from the suffix pass (its byte offsets
-        would silently desync from downstream char arithmetic) and
-        surfaces in non_ascii_report; pure-ASCII docs are unaffected."""
-        docs = {"ascii": "abcdefghij", "uni": "cafécafécafé"}
+    def test_non_ascii_doc_included_byte_positions(self, spark):
+        """The pass is byte-indexed end to end, so non-ASCII docs
+        participate fully (rounds 1-3 excluded them): positions
+        enumerate BYTE offsets of the UTF-8 encoding."""
+        docs = {"ascii": "abcdefghij", "uni": "cafécafécafé"}  # uni = 15 bytes
         df = _docs_df(spark, docs)
-        keyed = {r["conv_id"] for r in substring.suffix_keys(df, CFG).collect()}
-        assert keyed == {"ascii"}
-        rep = substring.non_ascii_report(df).collect()
-        assert [(r["conv_id"], r["char_len"] < r["byte_len"]) for r in rep] == [
-            ("uni", True)
-        ]
+        rows = substring.suffix_keys(df, CFG).collect()
+        by_conv = {}
+        for r in rows:
+            by_conv.setdefault(r["conv_id"], []).append(r["pos"])
+        assert sorted(by_conv["ascii"]) == [1, 2, 3]  # 10 bytes, w=8
+        assert sorted(by_conv["uni"]) == list(range(1, 15 - CFG.anchor_w + 2))
 
 
 class TestAnchorsAndChaining:
@@ -445,3 +444,98 @@ class TestTrimTurns:
         )
         left = intervals.trim_turns(turns, marks, CFG).collect()
         assert sorted(r["turn_idx"] for r in left) == [1]
+
+
+class TestByteSpaceNonAscii:
+    """Byte-space substring dedup for non-ASCII documents (multilingual
+    transcripts): positions, spans, interval decisions, and turn trims
+    are all byte offsets of the UTF-8 encoding, so mixed-script corpora
+    get full substring-level dedup — the round-3 exclusion gate is gone."""
+
+    def test_mixed_script_planted_pair_recovered(self, spark):
+        rng = np.random.Generator(np.random.PCG64(31))
+
+        def uni_text(n):
+            # high-entropy mixed-width alphabet: 64 Cyrillic (2 bytes/char)
+            # + 64 CJK (3 bytes/char) — an 8-byte window spans ≥3 chars of
+            # a 128-symbol alphabet, so spurious cross-doc window
+            # collisions (which would split chains) are negligible
+            alphabets = [chr(0x0430 + i) for i in range(64)] + [
+                chr(0x4E00 + i) for i in range(64)
+            ]
+            return "".join(
+                alphabets[c] for c in rng.integers(0, len(alphabets), size=n)
+            )
+
+        shared = uni_text(120)
+        a = uni_text(150) + shared + uni_text(100)
+        b = uni_text(40) + shared + uni_text(180)
+        best = substring.substring_matches(
+            _docs_df(spark, {"a": a, "b": b}), CFG
+        ).collect()
+        assert len(best) == 1
+        r = best[0]
+        ab, bb = a.encode("utf-8"), b.encode("utf-8")
+        # reported positions are byte offsets: the two reported slices
+        # carry the same shared bytes (allow anchor-width edge slack,
+        # then require a long common prefix of the two byte slices)
+        sa = ab[r["a_start"] - 1 : r["a_end"]]
+        sb = bb[r["b_start"] - 1 : r["b_end"]]
+        shared_bytes = shared.encode("utf-8")
+        assert sa == sb
+        assert len(sa) >= len(shared_bytes) - 2 * CFG.anchor_w
+        # the recovered region must cover the planted one (it may extend
+        # a few bytes past it: UTF-8 lead bytes of the two fillers can
+        # genuinely coincide — e.g. every CJK char here shares \xe4\xb8 —
+        # and those bytes ARE shared content in byte space)
+        assert shared_bytes[2 * CFG.anchor_w : -2 * CFG.anchor_w] in sa
+
+    def test_turn_offsets_are_byte_spans(self, spark):
+        turns = spark.createDataFrame(
+            [("c", 0, "user", "héllo", None), ("c", 1, "agent", "wörld", None),
+             ("c", 2, "user", "данные", None)],
+            "conv_id string, turn_idx int, role string, text string, tool string",
+        )
+        doc = assemble_transcripts(turns).collect()[0]["doc"]
+        db = doc.encode("utf-8")
+        for r in intervals.turn_offsets(turns).collect():
+            assert db[r["turn_start"] - 1 : r["turn_end"]] == r["text"].encode("utf-8")
+
+    def test_trim_drops_covered_multibyte_turn(self, spark):
+        """A non-ASCII turn fully inside a byte-space dup interval is
+        dropped; the straddling/outside turns survive verbatim."""
+        turns = spark.createDataFrame(
+            [("c", 0, "user", "дубль", None),   # 10 bytes: span [1,10]
+             ("c", 1, "user", "uniq", None),    # span [12,15]
+             ("c", 2, "user", "данные", None)], # span [17,28]
+            "conv_id string, turn_idx int, role string, text string, tool string",
+        )
+        marks = spark.createDataFrame(
+            [("c", 1, 10)], "conv_id string, start int, end int"
+        )
+        left = intervals.trim_turns(turns, marks, CFG).collect()
+        assert sorted(r["turn_idx"] for r in left) == [1, 2]
+        assert {r["text"] for r in left} == {"uniq", "данные"}
+
+    def test_decide_intervals_uses_byte_lengths(self, spark):
+        """full-dup threshold judged against BYTE length: a span covering
+        >90% of a doc's bytes marks the whole doc even when the char
+        count alone would put coverage below the threshold."""
+        # doc_b: 100 Cyrillic chars = 200 bytes; span covers bytes 1..190
+        # (95% of bytes but would be 190/100 > 1 nonsense in char space)
+        b_doc = "ж" * 100
+        a_doc = "x" * 2000
+        t = spark.createDataFrame(
+            [("a", a_doc, 1, len(a_doc)), ("b", b_doc, 1, len(b_doc))],
+            "conv_id string, doc string, n_turns long, doc_len int",
+        )
+        spans = spark.createDataFrame(
+            [("a", "b", 1, 190, 1, 190, 10, 190, 190)],
+            "conv_a string, conv_b string, a_start int, a_end int, "
+            "b_start int, b_end int, n_anchors long, matched int, score int",
+        )
+        m = intervals.decide_intervals(spans, t, CFG).collect()
+        assert len(m) == 1
+        assert (m[0]["conv_id"], m[0]["start"], m[0]["end"], m[0]["kind"]) == (
+            "b", 1, 200, "full",
+        )

@@ -35,3 +35,42 @@ def test_eager_ckpt_level_env_override(spark, monkeypatch):
     monkeypatch.setenv("SPARK_GRAFT_CKPT_LEVEL", "MEMORY_AND_DISK")
     ck = eager_ckpt(spark.range(10))
     assert ck.count() == 10
+
+
+def test_shared_memo_mtime_guard(tmp_path, monkeypatch):
+    """_shared fails loudly when the sf_dir's contents change mid-session
+    (stale-checkpoint footgun): memoized subplans are only valid while
+    the underlying parquet is immutable."""
+    import time
+
+    import pytest
+
+    from dedup_spark import entry_queries as eq
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    (d / "documents.parquet").write_text("v1")
+    calls = []
+
+    class FakeDF:
+        pass
+
+    monkeypatch.setattr(
+        "dedup_spark.util.eager_ckpt", lambda df: df, raising=True
+    )
+    fake_spark = object()
+    out1 = eq._shared(
+        fake_spark, str(d), "k1", lambda: calls.append(1) or FakeDF()
+    )
+    # same key → memo hit, no rebuild
+    out2 = eq._shared(fake_spark, str(d), "k1", lambda: calls.append(2) or FakeDF())
+    assert out1 is out2 and calls == [1]
+    # mutate the dir (mtime moves) → loud failure, not stale reuse
+    time.sleep(0.02)
+    (d / "documents.parquet").write_text("v2 — mutated")
+    os_utime_target = d / "documents.parquet"
+    import os as _os
+
+    _os.utime(os_utime_target)
+    with pytest.raises(RuntimeError, match="changed mid-session"):
+        eq._shared(fake_spark, str(d), "k1", FakeDF)
