@@ -31,6 +31,7 @@ def main() -> int:
         "shingle_df",
         "informative_shingles",
         "minhash_lsh_candidates",
+        "containment_lsh_candidates",
         "simhash_docs",
         "verified_token_pairs",
         "cc_clusters",
@@ -58,6 +59,7 @@ def main() -> int:
     QUERIES["turns_from_documents"].spark_fn(spark, sf_dir).count()
 
     timings: dict[str, float] = {}
+    rows: dict[str, int] = {}
     total = 0.0
     for name in headline:
         fn = QUERIES[name].spark_fn
@@ -65,8 +67,23 @@ def main() -> int:
         n = fn(spark, sf_dir).count()
         dt = time.monotonic() - t0
         timings[name] = round(dt, 3)
+        rows[name] = n
         total += dt
         print(f"# {name}: {n} rows in {dt:.2f}s", file=sys.stderr)
+
+    # candidate-volume observability for the signature-only containment
+    # path: candidates vs the all-pairs ceiling and vs the exact
+    # (blocked) verified family. NOTE the measured ground truth at
+    # sf0.01: 99.9% of ALL doc pairs genuinely satisfy containment>0.2
+    # on this tiny-vocabulary synthetic corpus, so candidate volume here
+    # is BELOW true-positive volume — the ratio is corpus context, not a
+    # pruning defect (see BASELINE.md).
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    aux = {
+        "containment_candidates_rows": rows.get("containment_lsh_candidates", 0),
+        "verified_token_pairs_rows": rows.get("verified_token_pairs", 0),
+        "possible_pairs": n_docs * (n_docs - 1) // 2,
+    }
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
@@ -80,6 +97,7 @@ def main() -> int:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": timings,
+                "aux": aux,
                 "sf": sf_val,
             }
         )

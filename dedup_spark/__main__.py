@@ -55,6 +55,18 @@ def main(argv: list[str] | None = None) -> int:
                          "substring pass (1 = every position; default 4 "
                          "≈ minimap2's minimizer density — see "
                          "DedupConfig.anchor_sample_mod)")
+    ap.add_argument("--candidate-source", default="banding",
+                    choices=["banding", "prefix"],
+                    help="candidate generation: MinHash banding (default) "
+                         "or the exact AllPairs/PPJoin prefix filter "
+                         "(recall 1.0 for the containment verify; use "
+                         "with --no-simhash-filter for asymmetric "
+                         "containment hunting)")
+    ap.add_argument("--no-simhash-filter", action="store_true",
+                    help="disable the SimHash Hamming pre-filter at "
+                         "verify (required to keep small-contained-in-"
+                         "large pairs, whose Hamming distance is near "
+                         "random)")
     ap.add_argument("--report", help="write a one-line JSON run report here")
     args = ap.parse_args(argv)
 
@@ -67,6 +79,8 @@ def main(argv: list[str] | None = None) -> int:
         auto_df_band=args.auto_df_band,
         df_band_mode=args.df_band_mode,
         anchor_sample_mod=args.anchor_sample_mod,
+        candidate_source=args.candidate_source,
+        use_simhash_filter=not args.no_simhash_filter,
     )
     spark = get_spark(master=args.master, app_name="dedup_spark_cli")
 
@@ -105,7 +119,10 @@ def main(argv: list[str] | None = None) -> int:
         "n_turns_out": sm["deduped_turns"].rows_out,
         "n_clusters": n_clusters,
         "n_verified_pairs": sm["verified_pairs"].rows_out,
-        "skewed_buckets": sm["skew_report"].rows_out,
+        # prefix mode has no bucket machinery → no skew_report stage
+        "skewed_buckets": (
+            sm["skew_report"].rows_out if "skew_report" in sm else 0
+        ),
         "df_band": list(res.df_band),
         "wall_sec": round(wall, 3),
         "turns_per_sec": round(n_turns / wall, 1),

@@ -65,6 +65,27 @@ class DedupConfig:
                                  #   corpora with boilerplate shared by
                                  #   a large fraction of ALL documents.
 
+    # --- candidate generation ---
+    candidate_source: str = "banding"
+                                 # "banding" — MinHash band self-join
+                                 #   (probabilistic, signature-only;
+                                 #   the MinHashLSHEnsemble analog);
+                                 # "prefix" — exact AllPairs/PPJoin
+                                 #   prefix filter over the informative
+                                 #   shingle sets: recall 1.0 by
+                                 #   construction for the containment
+                                 #   verify predicate, candidate volume
+                                 #   proportional to true positives —
+                                 #   recovers small⊂large pairs (tiny
+                                 #   Jaccard) that banding at b=64/r=2
+                                 #   provably misses with high prob.
+                                 #   Pair with use_simhash_filter=False
+                                 #   when hunting asymmetric containment
+                                 #   (the Hamming distance of such pairs
+                                 #   is near random, so the simhash
+                                 #   pre-filter would re-drop them at
+                                 #   verify).
+
     # --- verification ---
     verify_containment: float = 0.2   # ref containment_threshold, dedup.py:592
     lsh_slack: float = 20.0           # ref LSH thr = containment/20, dedup.py:333
@@ -142,6 +163,8 @@ class DedupConfig:
             raise ValueError(
                 f"bad df_annotation_mode {self.df_annotation_mode!r}"
             )
+        if self.candidate_source not in ("banding", "prefix"):
+            raise ValueError(f"bad candidate_source {self.candidate_source!r}")
 
     def fingerprint(self) -> str:
         """Stable hash of the config, used to validate checkpoint reuse."""

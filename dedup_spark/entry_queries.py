@@ -1439,6 +1439,120 @@ MINHASH_BAND_PAIRS_SQL = (
 )
 
 
+# --- containment-collision twin (upgrades the containment-LSH algorithm
+# from rows-only to value-checked): the SAME pipeline shape as
+# lsh.containment_candidates — per-perm minhash explode → occurrence-
+# capped (perm, value) bucket self-join → per-pair collision count m →
+# per-stratum-pair exact-binomial m_min filter — over the md5-derived
+# 32-bit twin hash both engines compute identically. 64 twin perms and
+# recall 0.9 make the threshold actually BITE (same-stratum m_min ≥ 2,
+# extreme-asymmetry m_min = 1), so the stratum lookup, the threshold
+# table, and the collision counting are all value-checked end to end;
+# only the base hash and (num_perm, recall) differ from production.
+
+_CONT_TWIN_NPERM = 64
+_CONT_TWIN_PERMS = [(2 * j + 1, 7919 * (j + 1)) for j in range(_CONT_TWIN_NPERM)]
+_CONT_TWIN_RECALL = 0.9
+_CONT_TWIN_CAP = 200  # occurrence cap per (perm, value), mirrors max_band_bucket
+
+
+def _cont_twin_thresholds() -> list[tuple[int, int, int]]:
+    """Octave-stratum m_min table for the twin (c = 0.2, 64 perms,
+    recall 0.9) — same derivation as lsh.containment_collision_thresholds
+    with q = 1; strata computed integer-exactly on both engines as
+    length(bin(n)) - 1 == floor(log2(n))."""
+    from dedup_spark.operators.lsh import minhash_collision_threshold
+
+    c = 0.2
+    out = []
+    for i in range(32):
+        for j in range(i, 32):
+            jac = c * (2.0**i) / (2.0**i + 2.0 ** (j + 1) - c * (2.0**i))
+            out.append(
+                (i, j, minhash_collision_threshold(jac, _CONT_TWIN_NPERM, _CONT_TWIN_RECALL))
+            )
+    return out
+
+
+def _q_containment_minm_pairs(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    h = "conv(substring(md5(tok), 1, 8), 16, 10)"
+    toks = docs.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
+    ).selectExpr("doc_id", f"cast({h} AS bigint) AS h")
+    aggs = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(_TWIN_P)).alias(f"cm_{j}")
+        for j, (a, b) in enumerate(_CONT_TWIN_PERMS)
+    ]
+    sigs = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"), *aggs)
+    stack = ", ".join(f"{j}, cm_{j}" for j in range(_CONT_TWIN_NPERM))
+    vals = sigs.selectExpr(
+        "doc_id", "n", f"stack({_CONT_TWIN_NPERM}, {stack}) AS (perm, v)"
+    )
+    ok = (
+        vals.groupBy("perm", "v")
+        .agg(F.count(F.lit(1)).alias("occ"))
+        .filter((F.col("occ") > 1) & (F.col("occ") <= _CONT_TWIN_CAP))
+        .select("perm", "v")
+    )
+    b = vals.join(ok, ["perm", "v"])
+    left = b.select("perm", "v", F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
+    right = b.select("perm", "v", F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
+    pairs = (
+        left.join(right, ["perm", "v"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.count(F.lit(1)).alias("m"),
+            F.first("n_a").alias("n_a"),
+            F.first("n_b").alias("n_b"),
+        )
+    )
+    thr = spark.createDataFrame(
+        _cont_twin_thresholds(), "s_small int, s_large int, m_min int"
+    )
+    s_small = F.expr("length(bin(least(n_a, n_b))) - 1").cast("int")
+    s_large = F.expr("length(bin(greatest(n_a, n_b))) - 1").cast("int")
+    return (
+        pairs.withColumn("s_small", s_small)
+        .withColumn("s_large", s_large)
+        .join(F.broadcast(thr), ["s_small", "s_large"])
+        .filter(F.col("m") >= F.col("m_min"))
+        .select("doc_a", "doc_b", "m")
+    )
+
+
+def _cont_twin_sql() -> str:
+    mins = ", ".join(
+        f"min(({a} * h + {b}) % {_TWIN_P}) AS cm_{j}"
+        for j, (a, b) in enumerate(_CONT_TWIN_PERMS)
+    )
+    unpivot = " UNION ALL ".join(
+        f"SELECT doc_id, n, {j} AS perm, cm_{j} AS v FROM sigs"
+        for j in range(_CONT_TWIN_NPERM)
+    )
+    thr_rows = ", ".join(f"({i}, {j}, {m})" for i, j, m in _cont_twin_thresholds())
+    return (
+        "WITH toks AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h "
+        "FROM (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok "
+        "FROM documents)), "
+        f"sigs AS (SELECT doc_id, count(*)::BIGINT AS n, {mins} FROM toks GROUP BY doc_id), "
+        f"vals AS ({unpivot}), "
+        "ok AS (SELECT perm, v FROM vals GROUP BY perm, v "
+        f"HAVING count(*) > 1 AND count(*) <= {_CONT_TWIN_CAP}), "
+        "b AS (SELECT vals.* FROM vals JOIN ok USING (perm, v)), "
+        "pairs AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, "
+        "count(*)::BIGINT AS m, any_value(x.n) AS n_a, any_value(y.n) AS n_b "
+        "FROM b x JOIN b y ON x.perm = y.perm AND x.v = y.v AND x.doc_id < y.doc_id "
+        "GROUP BY 1, 2), "
+        f"thr(s_small, s_large, m_min) AS (VALUES {thr_rows}) "
+        "SELECT doc_a, doc_b, m FROM pairs JOIN thr "
+        "ON length(bin(least(n_a, n_b))) - 1 = thr.s_small "
+        "AND length(bin(greatest(n_a, n_b))) - 1 = thr.s_large "
+        "WHERE m >= m_min"
+    )
+
+
 def _q_simhash_bitvote_docs(spark, sf_dir):
     docs = _read(spark, sf_dir, "documents")
     h = "conv(substring(md5(tok), 1, 8), 16, 10)"
@@ -1634,6 +1748,7 @@ ORDER BY revenue DESC, l_orderkey ASC LIMIT 20""",
     "minhash_perm_sigs": QuerySpec(_q_minhash_perm_sigs, MINHASH_TWIN_SQL),
     "simhash_bitvote_docs": QuerySpec(_q_simhash_bitvote_docs, SIMHASH_TWIN_SQL),
     "minhash_band_pairs": QuerySpec(_q_minhash_band_pairs, MINHASH_BAND_PAIRS_SQL),
+    "containment_minm_pairs": QuerySpec(_q_containment_minm_pairs, _cont_twin_sql()),
     "substring_anchors": QuerySpec(
         _q_substring_anchors,
         f"WITH {_ANCHORS_SQL} SELECT conv_a, conv_b, a_pos, b_pos FROM anchors",

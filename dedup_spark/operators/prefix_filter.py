@@ -57,20 +57,34 @@ def candidate_pairs(
     doc_tokens: DataFrame,
     block_cols: tuple[str, ...] = ("lang", "source"),
     id_col: str = "doc_id",
+    threshold: float = 0.2,
 ) -> DataFrame:
-    """Exact candidates for ``common > (n_small + 1) / 5`` within blocks.
+    """Exact candidates for ``common > threshold * (n_small + 1)``
+    within blocks.
 
     ``doc_tokens``: one row per document with ``id_col``, the
     ``block_cols``, ``toks`` (array of DISTINCT token hashes) and
     ``n_toks``. Returns distinct ``(doc_a, doc_b)`` with
     ``doc_a < doc_b``, a SUPERSET of all qualifying pairs.
+
+    ``block_cols`` may be empty (one global block — the pipeline path,
+    where candidate pairs may cross any attribute). ``threshold`` is
+    converted to an exact rational so the per-stratum required overlap
+    ``c_s = floor(t·(2^s + 1)) + 1`` stays integer-exact (no float
+    rounding can cost a candidate): c_s = (num·(2^s+1)) DIV den + 1.
     """
+    from fractions import Fraction
+
+    frac = Fraction(threshold).limit_denominator(1_000_000)
+    t_num, t_den = frac.numerator, frac.denominator
     bc = list(block_cols)
     # one fused int64 block key: every downstream shuffle/join keys on
-    # two longs instead of an N-column string composite
+    # two longs instead of an N-column string composite. No blocking →
+    # constant key (strata still bound the probe range).
+    blk = F.xxhash64(*bc) if bc else F.lit(0).cast("long")
     base = doc_tokens.filter(F.size("toks") > 0).select(
         id_col,
-        F.xxhash64(*bc).alias("blk"),
+        blk.alias("blk"),
         F.explode("toks").alias("tok"),
         "n_toks",
     )
@@ -94,7 +108,7 @@ def candidate_pairs(
     strat = F.floor(F.log2("n_toks")).cast("int")
     min_strat = (
         doc_tokens.filter(F.size("toks") > 0)
-        .select(F.xxhash64(*bc).alias("blk"), strat.alias("st"))
+        .select(blk.alias("blk"), strat.alias("st"))
         .groupBy("blk")
         .agg(F.min("st").alias("s_min"))
     )
@@ -102,11 +116,15 @@ def candidate_pairs(
         ranked.withColumn("s_own", strat)
         .join(F.broadcast(min_strat), "blk")
         .withColumn("s", F.explode(F.sequence("s_min", "s_own")))
-        # c_s = (2^s + 1) // 5 + 1, integer-exact (common is an integer,
-        # so common > (n+1)/5 ⇔ common >= (n+1)//5 + 1)
+        # c_s = (num·(2^s + 1)) DIV den + 1, integer-exact (common is an
+        # integer, so common > t·(n+1) ⇔ common >= floor(t·(n+1)) + 1;
+        # at the default t = 1/5 this is the round-3 (2^s+1) DIV 5 + 1)
         .withColumn(
             "c_s",
-            F.expr("(shiftleft(CAST(1 AS BIGINT), s) + 1) DIV 5 + 1"),
+            F.expr(
+                f"({t_num} * (shiftleft(CAST(1 AS BIGINT), s) + 1)) "
+                f"DIV {t_den} + 1"
+            ),
         )
         .filter(F.col("rnk") <= F.col("n_toks") - F.col("c_s") + 1)
         .select(

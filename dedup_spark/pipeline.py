@@ -171,19 +171,59 @@ class DedupPipeline:
         signatures = cat.stage(
             "signatures", lambda: lsh.compute_signatures(informative, cfg)
         )
-        # bands stay a lazy projection of the signatures checkpoint (a
-        # posexplode re-run per consumer is cheaper than a dedicated
-        # write+rename+read checkpoint cycle on the serial driver path)
-        bands = lsh.explode_bands(signatures)
-        bucket_sizes = cat.stage("bucket_sizes", lambda: lsh.band_bucket_sizes(bands))
-        # observability stage off the critical path: overlap its write
-        # with candidate generation
-        skew_f = pool.submit(
-            lambda: cat.stage("skew_report", lambda: lsh.skew_report(bucket_sizes, cfg))
-        )
-        candidates = cat.stage(
-            "candidate_pairs", lambda: lsh.candidate_pairs(bands, bucket_sizes, cfg)
-        )
+        # Candidate source is config-switched (cfg.candidate_source):
+        #
+        # * "banding" (default) — MinHash band self-join with the
+        #   three-tier skew handling; probabilistic recall tuned by
+        #   (bands, rows_per_band).
+        # * "prefix" — exact AllPairs/PPJoin prefix filter over the
+        #   informative shingle sets (operators/prefix_filter): recall
+        #   1.0 BY CONSTRUCTION for the containment verify predicate —
+        #   including small⊂large pairs (tiny Jaccard) that banding at
+        #   b=64/r=2 misses with high probability. Volume tracks true
+        #   positives, not corpus². The band/bucket machinery is
+        #   skipped entirely in this mode (skew_report is empty: hot
+        #   tokens expel themselves from prefixes by df-ascending
+        #   order, so there is no bucket to drop).
+        skew_f = None
+        if cfg.candidate_source == "prefix":
+            from dedup_spark.operators import prefix_filter
+
+            def build_prefix_candidates() -> DataFrame:
+                toks = informative.select(
+                    "conv_id",
+                    F.col("shingles").alias("toks"),
+                    F.col("n_shingles").alias("n_toks"),
+                )
+                cand = prefix_filter.candidate_pairs(
+                    toks, block_cols=(), id_col="conv_id",
+                    threshold=cfg.verify_containment,
+                )
+                return cand.select(
+                    F.col("doc_a").alias("conv_a"), F.col("doc_b").alias("conv_b")
+                )
+
+            candidates = cat.stage("candidate_pairs", build_prefix_candidates)
+        else:
+            # bands stay a lazy projection of the signatures checkpoint
+            # (a posexplode re-run per consumer is cheaper than a
+            # dedicated write+rename+read checkpoint cycle on the serial
+            # driver path)
+            bands = lsh.explode_bands(signatures)
+            bucket_sizes = cat.stage(
+                "bucket_sizes", lambda: lsh.band_bucket_sizes(bands)
+            )
+            # observability stage off the critical path: overlap its
+            # write with candidate generation
+            skew_f = pool.submit(
+                lambda: cat.stage(
+                    "skew_report", lambda: lsh.skew_report(bucket_sizes, cfg)
+                )
+            )
+            candidates = cat.stage(
+                "candidate_pairs",
+                lambda: lsh.candidate_pairs(bands, bucket_sizes, cfg),
+            )
         # From here the DAG forks into two INDEPENDENT branches that run
         # concurrently from driver threads (Spark schedules their jobs
         # side by side): narrow tail stages of one branch no longer
@@ -368,7 +408,13 @@ class DedupPipeline:
                 "trimmed_turns", lambda: intervals.trim_turns(deduped, merged, cfg)
             )
             stats = stats_f.result()
-            skew = skew_f.result()
+            skew = (
+                skew_f.result()
+                if skew_f is not None
+                else self.spark.createDataFrame(
+                    [], "band_id int, band_hash long, bucket_size long"
+                )
+            )
         finally:
             pool.shutdown(wait=True)
         cat.flush()  # every checkpoint durable before the run returns
