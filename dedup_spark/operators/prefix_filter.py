@@ -137,6 +137,14 @@ def candidate_pairs(
             (F.col("n_toks") - F.col("rnk") + 1).alias("rem"),
         )
     )
+    # The self-join would otherwise evaluate the ENTIRE emit subplan
+    # (explode → df window → rank window → stratified re-emit) once per
+    # side — verified in the physical plan: two full copies of the
+    # window chain. One eager localCheckpoint halves the stage; the
+    # join then reads materialized blocks on both sides.
+    from dedup_spark.util import eager_ckpt
+
+    emit = eager_ckpt(emit)
     a = emit.select(
         F.col("doc").alias("doc_a"), F.col("s_own").alias("sa"),
         F.col("rem").alias("rem_a"), "bkey", "s", "c_s",
