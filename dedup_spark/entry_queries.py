@@ -503,6 +503,35 @@ def _q_token_stats(spark, sf_dir):
     )
 
 
+# BPE-ish pre-tokenization classes (letters run / digits run / single
+# punctuation), the usual byte-pair-encoding pre-split shape — counted
+# identically by Java regex (Spark) and RE2 (DuckDB) for these classes
+_BPE_PAT = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def _q_bpe_token_stats(spark, sf_dir):
+    """Token counting, BPE-ish: whitespace tokens (the `token_stats`
+    baseline) plus a regex pre-tokenizer count — the standard proxy for
+    'how many BPE tokens will this doc cost' without shipping a
+    tokenizer model. All-integer output for cross-engine hash parity."""
+    docs = _read(spark, sf_dir, "documents")
+    # pattern passed as a lit Column, NOT through an expr string — Spark
+    # SQL string literals eat the backslash in '\s'
+    return docs.select(
+        "doc_id",
+        F.size(
+            F.regexp_extract_all(F.col("text"), F.lit(_BPE_PAT), F.lit(0))
+        ).alias("n_bpe_tokens"),
+        F.size(F.split("text", " ")).alias("n_ws_tokens"),
+    )
+
+
+BPE_TOKEN_SQL = (
+    f"SELECT doc_id, len(regexp_extract_all(text, '{_BPE_PAT}')) AS n_bpe_tokens, "
+    "len(string_split(text, ' ')) AS n_ws_tokens FROM documents"
+)
+
+
 _STOPWORDS = ("the", "a", "of", "and", "to", "data", "value")
 
 
@@ -1683,6 +1712,7 @@ GROUP BY s.user_id, s.session_id""",
         "round(len(replace(text, ' ', ''))::double / len(string_split(text,' ')), 6) AS avg_token_len "
         "FROM documents",
     ),
+    "bpe_token_stats": QuerySpec(_q_bpe_token_stats, BPE_TOKEN_SQL),
     "quality_score": QuerySpec(
         _q_quality_score,
         f"""SELECT doc_id,
