@@ -1151,6 +1151,26 @@ def _q_ann_lsh_topk(spark, sf_dir):
     )
 
 
+def _q_ann_ivf_topk(spark, sf_dir):
+    """IVF-Flat bucketed cosine top-k (operators/ann.ivf_topk) — the
+    data-adaptive scale path of the similarity-search family (coarse
+    k-means quantizer → inverted-list equi-join → in-list exact cosine).
+    Run here with n_probes == n_lists, where the probed set provably
+    covers the corpus and the output EQUALS brute force — so the driver
+    value-hash-checks the whole IVF machinery (deterministic k-means
+    fit, assignment UDF, list join, ranking) against the cosine_topk
+    oracle. Sub-exhaustive probe recall (the production operating
+    point) is pytest-asserted on planted clusters in
+    tests/test_ann_multimodal.py."""
+    from dedup_spark.operators import ann
+
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return ann.ivf_topk(
+        emb, queries, k=3, n_lists=16, n_probes=16, seed=42, n_iters=8
+    )
+
+
 def _q_embedding_neardup_pairs(spark, sf_dir):
     """Embedding-cosine near-duplicate PAIRS (the dedup-family variant
     of similarity search): candidates from a hyperplane-LSH bucket
@@ -1815,6 +1835,7 @@ FROM poscls GROUP BY 1, 2""",
     # same oracle as cosine_topk: the LSH path recovers the exact
     # brute-force top-3 at driver sf (see _q_ann_lsh_topk docstring)
     "ann_lsh_topk": QuerySpec(_q_ann_lsh_topk, None),  # sql set below
+    "ann_ivf_topk": QuerySpec(_q_ann_ivf_topk, None),  # sql set below
     "embedding_neardup_pairs": QuerySpec(_q_embedding_neardup_pairs, NEARDUP_EMB_SQL),
     "multimodal_features": QuerySpec(_q_multimodal_features, FEATURES_SQL),
     "frame_samples": QuerySpec(_q_frame_samples, FRAME_SAMPLES_SQL),
@@ -1845,4 +1866,8 @@ def _langid_sql() -> str:
 QUERIES["langid_heuristic"] = QuerySpec(_q_langid, _langid_sql())
 QUERIES["ann_lsh_topk"] = QuerySpec(
     _q_ann_lsh_topk, QUERIES["cosine_topk"].sql
+)
+# exhaustive-probe IVF equals brute force (see _q_ann_ivf_topk docstring)
+QUERIES["ann_ivf_topk"] = QuerySpec(
+    _q_ann_ivf_topk, QUERIES["cosine_topk"].sql
 )

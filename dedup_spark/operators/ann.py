@@ -1,6 +1,6 @@
 """Approximate nearest neighbour search over embedding columns.
 
-Two tiers (SURVEY operator class: similarity search / embedding-cosine
+Three tiers (SURVEY operator class: similarity search / embedding-cosine
 near-dup):
 
 * **Brute force** — exact cosine top-k via a crossJoin + window rank;
@@ -14,6 +14,17 @@ near-dup):
   bucket join is an equi-shuffle on bucket id — no quadratic stage, and
   bucket population is capped + reported like every other skew guard in
   this engine.
+* **IVF (inverted-file)** — a coarse k-means quantizer partitions the
+  corpus into ``n_lists`` inverted lists (each vector indexed under its
+  nearest centroid); queries probe their ``n_probes`` nearest lists and
+  exact cosine runs only inside the probed lists. The standard
+  IVF-Flat layout (Jégou et al., PAMI'11; FAISS) re-expressed as a
+  DataFrame equi-join on the list id. Training is driver-side numpy
+  k-means over a deterministic sample (centroids broadcast in the UDF
+  closure); assignment is one Arrow-batched matmul per batch. Compared
+  to hyperplane LSH: data-adaptive lists (better for clustered
+  corpora), probe count = explicit recall/cost dial, and the same
+  bucket-cap + report skew contract.
 
 All kernels are numpy inside Arrow-batched pandas UDFs (no per-row
 Python); the bucket join and ranking are plain DataFrame ops.
@@ -173,6 +184,145 @@ def ann_topk(
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "sim", "rank")
+    )
+
+
+# ------------------------------------------------------------------ IVF
+
+
+def fit_ivf_centroids(
+    vectors: np.ndarray, n_lists: int, seed: int = 42, n_iters: int = 10
+) -> np.ndarray:
+    """Deterministic Lloyd k-means → (n_lists, dim) float64 centroids.
+
+    Driver-side on a SAMPLE (the caller controls sampling; centroids
+    ship to executors in the assign-UDF closure — a few KB). Distances
+    use the |v|² − 2v·c + |c|² expansion so memory stays (n × L), never
+    (n × L × D). Ties and init are deterministic (PCG64(seed) init
+    without replacement, stable argmin); a list that loses all members
+    keeps its previous centroid — no randomness after init."""
+    n = vectors.shape[0]
+    if n == 0:
+        raise ValueError("cannot fit IVF centroids on an empty sample")
+    n_lists = min(n_lists, n)
+    rng = np.random.Generator(np.random.PCG64(seed))
+    cent = vectors[rng.choice(n, size=n_lists, replace=False)].astype(
+        np.float64
+    ).copy()
+    v = vectors.astype(np.float64)
+    vv = (v**2).sum(axis=1, keepdims=True)
+    for _ in range(n_iters):
+        d = vv - 2.0 * (v @ cent.T) + (cent**2).sum(axis=1)[None, :]
+        a = d.argmin(axis=1)
+        for j in range(n_lists):
+            members = v[a == j]
+            if members.shape[0]:
+                cent[j] = members.mean(axis=0)
+    return cent
+
+
+def make_ivf_assign_udf(centroids: np.ndarray, n_probes: int):
+    """array<float> embedding → array<int> of the ``n_probes`` nearest
+    list ids, ascending by L2 distance (stable ties) — probe 0 is the
+    vector's OWN list, which is exactly how the corpus side indexes
+    (n_probes=1), so query probes and index lists always agree."""
+    cent = np.asarray(centroids, dtype=np.float64)
+    cc = (cent**2).sum(axis=1)
+    n_probes = min(n_probes, cent.shape[0])
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def ivf_assign_udf(embs: pd.Series) -> pd.Series:
+        if len(embs) == 0:
+            return pd.Series([], dtype="object")
+        m = np.stack([np.asarray(e, dtype=np.float64) for e in embs])
+        d = (m**2).sum(axis=1, keepdims=True) - 2.0 * (m @ cent.T) + cc[None, :]
+        order = np.argsort(d, axis=1, kind="stable")[:, :n_probes].astype(np.int32)
+        return pd.Series(list(order))
+
+    return ivf_assign_udf
+
+
+def ivf_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    n_lists: int = 16,
+    n_probes: int = 4,
+    seed: int = 42,
+    n_iters: int = 10,
+    max_list: int = 100_000,
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """IVF-Flat cosine top-k: corpus indexed under its nearest centroid,
+    queries probe their ``n_probes`` nearest lists, exact cosine only
+    inside probed lists. Returns (query_id, neighbor_id, sim, rank).
+
+    ``centroids=None`` trains driver-side on the full (collected)
+    corpus — interactive-scale convenience. At corpus scale pass
+    pre-fit centroids (train on a hash-sample: k-means quality needs
+    only ~100× n_lists points) so the plan stays collect-free; the
+    centroid matrix is a closure broadcast either way. Lists larger
+    than ``max_list`` are excluded from scoring and surface via
+    :func:`ivf_skew_report` — same cap+report contract as every bucket
+    join in this engine. With ``n_probes = n_lists`` the probed set is
+    the whole corpus and the result provably equals brute force — the
+    oracle anchor the driver query uses."""
+    cast = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    if centroids is None:
+        sample = np.stack(
+            [r["cv"] for r in emb.select(cast.alias("cv")).collect()]
+        )
+        centroids = fit_ivf_centroids(sample, n_lists, seed, n_iters)
+    assign1 = make_ivf_assign_udf(centroids, 1)
+    corpus = (
+        emb.select(F.col(id_col).alias("neighbor_id"), cast.alias("cv"))
+        .withColumn("list", F.element_at(assign1(F.col("cv")), 1))
+    )
+    sizes = corpus.groupBy("list").agg(F.count(F.lit(1)).alias("list_size"))
+    corpus = corpus.join(
+        sizes.filter(F.col("list_size") <= max_list).select("list"), ["list"]
+    )
+
+    assign_q = make_ivf_assign_udf(centroids, n_probes)
+    q = (
+        queries.select(F.col(id_col).alias("query_id"), cast.alias("qv"))
+        .withColumn("list", F.explode(assign_q(F.col("qv"))))
+    )
+    j = (
+        q.join(corpus, ["list"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    sim = F.round(
+        _dot(F.col("qv"), F.col("cv"))
+        / (F.sqrt(_dot(F.col("qv"), F.col("qv"))) * F.sqrt(_dot(F.col("cv"), F.col("cv")))),
+        4,
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        j.withColumn("sim", sim)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", "rank")
+    )
+
+
+def ivf_skew_report(
+    emb: DataFrame,
+    centroids: np.ndarray,
+    vec_col: str = "embedding",
+    max_list: int = 100_000,
+) -> DataFrame:
+    """Inverted lists over the population cap — logged, never silent."""
+    cast = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    assign1 = make_ivf_assign_udf(centroids, 1)
+    return (
+        emb.select(F.element_at(assign1(cast), 1).alias("list"))
+        .groupBy("list")
+        .agg(F.count(F.lit(1)).alias("list_size"))
+        .filter(F.col("list_size") > max_list)
     )
 
 

@@ -229,3 +229,102 @@ class TestMultimodal:
         expect = (a0["meta"]["duration_ms"] + 499) // 500
         got = (pdf["asset_id"] == a0["asset_id"]).sum()
         assert got == expect
+
+
+class TestIvf:
+    """IVF-Flat tier: deterministic k-means lists, probe-limited search."""
+
+    def test_fit_deterministic_and_shapes(self):
+        rng = np.random.Generator(np.random.PCG64(5))
+        v = rng.standard_normal((200, DIM))
+        c1 = ann.fit_ivf_centroids(v, 8, seed=42, n_iters=5)
+        c2 = ann.fit_ivf_centroids(v, 8, seed=42, n_iters=5)
+        assert c1.shape == (8, DIM)
+        assert np.array_equal(c1, c2)
+
+    def test_exhaustive_probes_equal_brute_force(self, spark):
+        """n_probes == n_lists probes every list → result is exactly the
+        brute-force top-k (the invariant the driver oracle relies on)."""
+        vecs, _ = _cluster_vecs(seed=19, n_clusters=4, per=10)
+        df = _emb_df(spark, vecs)
+        queries = df.filter(F.col("vec_id") < 6)
+        got = {
+            (r["query_id"], r["rank"]): r["neighbor_id"]
+            for r in ann.ivf_topk(
+                df, queries, k=3, n_lists=8, n_probes=8, seed=42
+            ).collect()
+        }
+        ids = sorted(vecs)
+        m = np.stack([vecs[i] for i in ids])
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        sims = m @ m.T
+        for qi in range(6):
+            order = [
+                j
+                for j in np.argsort(
+                    [(-np.round(sims[qi, j], 4), ids[j]) for j in range(len(ids))],
+                    axis=0,
+                    kind="stable",
+                )
+            ]
+            # rebuild the (sim desc, id asc) order deterministically
+            ranked = sorted(
+                (j for j in range(len(ids)) if j != qi),
+                key=lambda j: (-np.round(sims[qi, j], 4), ids[j]),
+            )[:3]
+            for rk, j in enumerate(ranked, start=1):
+                assert got[(qi, rk)] == ids[j], (qi, rk)
+
+    def test_planted_cluster_recall_at_low_probes(self, spark):
+        """Clustered corpus at 10× lists: probing 4 of 16 lists still
+        recovers same-cluster neighbours for every query — the
+        data-adaptive win over hash buckets."""
+        vecs, labels = _cluster_vecs(seed=23, n_clusters=10, per=16)
+        df = _emb_df(spark, vecs)
+        queries = df.filter(F.col("vec_id") < 10)
+        got = ann.ivf_topk(
+            df, queries, k=3, n_lists=16, n_probes=4, seed=42
+        ).collect()
+        by_q = {}
+        for r in got:
+            by_q.setdefault(r["query_id"], []).append(r["neighbor_id"])
+        assert set(by_q) == set(range(10))
+        hits = sum(
+            labels[n] == labels[q] for q, ns in by_q.items() for n in ns
+        )
+        total = sum(len(ns) for ns in by_q.values())
+        assert hits / total >= 0.95, (hits, total)
+
+    def test_list_cap_reported_not_silent(self, spark):
+        """A degenerate list over the cap is excluded from scoring AND
+        surfaces in the skew report."""
+        rng = np.random.Generator(np.random.PCG64(31))
+        base = rng.standard_normal(DIM)
+        vecs = {i: base + rng.standard_normal(DIM) * 0.01 for i in range(40)}
+        df = _emb_df(spark, vecs)
+        cast = F.transform("embedding", lambda x: x.cast("double"))
+        sample = np.stack(
+            [r["cv"] for r in df.select(cast.alias("cv")).collect()]
+        )
+        cents = ann.fit_ivf_centroids(sample, 4, seed=42)
+        rep = ann.ivf_skew_report(df, cents, max_list=10)
+        assert rep.count() > 0
+        q = df.filter(F.col("vec_id") < 3)
+        # k exceeds the corpus so top-k never truncates (subset-ness
+        # below is about CANDIDATES, and ranking would otherwise swap
+        # different neighbours into the top 3 when a list is excluded)
+        capped = ann.ivf_topk(
+            df, q, k=50, n_lists=4, n_probes=4, seed=42,
+            max_list=10, centroids=cents,
+        )
+        uncapped = ann.ivf_topk(
+            df, q, k=50, n_lists=4, n_probes=4, seed=42,
+            max_list=10_000, centroids=cents,
+        )
+        got_c = {(r["query_id"], r["neighbor_id"]) for r in capped.collect()}
+        got_u = {(r["query_id"], r["neighbor_id"]) for r in uncapped.collect()}
+        # over-cap lists contribute nothing: capped ⊆ uncapped and the
+        # exclusion is real (k-means may SPLIT the clump, so some lists
+        # can legitimately stay under the cap — only over-cap ones drop)
+        assert got_c <= got_u
+        assert got_c != got_u
