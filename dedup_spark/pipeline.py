@@ -8,11 +8,15 @@ caching, dedup.py:439-443):
                     │                        │              │
                     └────────► informative ◄─┴── df band (manual/tail/fit)
                                    │
-                               signatures ─► bands ─► bucket_sizes
+                               signatures ─► bands ─► bucket_sizes     [banding]
                                    │                     │     │
                                    │              skew_report  │
                                    │                           ▼
                                    ├──────────────► candidate_pairs
+                                   │   (candidate_source="prefix" routes this
+                                   │    through the exact AllPairs/PPJoin
+                                   │    prefix filter over informative sets
+                                   │    instead — no band machinery)
                                    ▼                           │
                               verified_pairs ◄─────────────────┘
                                    │
