@@ -146,3 +146,29 @@ def test_hash_bytes_deterministic():
     assert H.hash_bytes(b"hello") == H.hash_bytes(b"hello")
     assert H.hash_bytes(b"hello") != H.hash_bytes(b"hellp")
     H.hash_bytes(b"")  # no crash
+
+
+def test_window_hashes_bytes_str_bit_identity():
+    """char_window_hashes accepts str or raw bytes (byte-space substring
+    family): hashing a string and hashing its UTF-8 encoding are
+    bit-identical, and byte-sliced fragments hash to the corresponding
+    window subsequence — the invariant span_position_classes relies on."""
+    from hypothesis import given, settings, strategies as st
+
+    from dedup_spark.functions.hashing import char_window_hashes
+
+    @settings(max_examples=50, deadline=None)
+    @given(st.text(min_size=0, max_size=200), st.integers(3, 9))
+    def check(s, k):
+        a = char_window_hashes(s, k)
+        b = char_window_hashes(s.encode("utf-8"), k)
+        assert (a == b).all() and a.shape == b.shape
+        raw = s.encode("utf-8")
+        if len(raw) >= k + 4:
+            # a mid-stream byte slice (possibly splitting multibyte
+            # chars at its edges) reproduces the windows starting there
+            frag = raw[2 : len(raw) - 2]
+            fh = char_window_hashes(frag, k)
+            assert (fh == a[2 : 2 + fh.shape[0]]).all()
+
+    check()
