@@ -590,6 +590,69 @@ def _q_fingerprint(spark, sf_dir):
     )
 
 
+_WIN_K = 8   # winnowing k-gram width (chars)
+_WIN_W = 4   # winnowing window: one fingerprint per w consecutive grams
+
+
+def _q_winnow_fingerprints(spark, sf_dir):
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD'03 — the MOSS algorithm): hash every k-gram, slide a window
+    of w consecutive gram hashes, keep the minimum of each window; the
+    distinct chosen values are the document's fingerprint set. Guarantees
+    any shared substring of length ≥ k + w − 1 contributes at least one
+    common fingerprint, at ~2/(w+1) the density of full shingling.
+
+    Value-checked cross-engine via the md5-32-bit gram hash (same trick
+    as the kernel twins); windows are ROWS BETWEEN CURRENT AND w-1
+    FOLLOWING in both engines, and the DISTINCT min VALUES make
+    tie-handling immaterial. Grams are BYTE windows sliced from the
+    binary encoding (char substring is O(pos) → O(doc²) per doc; see
+    substring.suffix_keys), md5'd via their hex image so both engines
+    hash the identical ASCII string (Spark hex() and DuckDB hex() are
+    both uppercase)."""
+    from pyspark.sql import Window as W
+
+    docs = _read(spark, sf_dir, "documents")
+    grams = (
+        docs.filter(F.octet_length("text") >= _WIN_K)
+        .select("doc_id", F.encode("text", "UTF-8").alias("b"))
+        .select(
+            "doc_id",
+            "b",
+            F.explode(
+                F.sequence(F.lit(1), F.length("b") - _WIN_K + 1)
+            ).alias("pos"),
+        )
+        .select(
+            "doc_id",
+            "pos",
+            F.expr(
+                f"cast(conv(substring(md5(hex(substring(b, pos, {_WIN_K}))), 1, 8), 16, 10) AS bigint)"
+            ).alias("h"),
+        )
+    )
+    win = W.partitionBy("doc_id").orderBy("pos").rowsBetween(0, _WIN_W - 1)
+    return (
+        grams.withColumn("fp", F.min("h").over(win))
+        .select("doc_id", "fp")
+        .dropDuplicates(["doc_id", "fp"])
+    )
+
+
+WINNOW_SQL = f"""
+WITH grams AS (
+  SELECT doc_id, u.i AS pos,
+         ('0x' || substr(md5(substr(hex(encode(text)), 2 * cast(u.i AS int) - 1, {2 * _WIN_K})), 1, 8))::BIGINT AS h
+  FROM documents, unnest(range(1, strlen(text) - {_WIN_K} + 2)) AS u(i)
+  WHERE strlen(text) >= {_WIN_K}
+)
+SELECT DISTINCT doc_id,
+       min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN CURRENT ROW AND {_WIN_W - 1} FOLLOWING) AS fp
+FROM grams
+"""
+
+
 def _q_embedding_norms(spark, sf_dir):
     emb = _read(spark, sf_dir, "embeddings")
     vec = F.transform(F.col("embedding"), lambda x: x.cast("double"))
@@ -1753,6 +1816,7 @@ FROM documents""",
         _q_fingerprint,
         "SELECT doc_id, md5(lower(text)) AS fingerprint FROM documents",
     ),
+    "winnow_fingerprints": QuerySpec(_q_winnow_fingerprints, WINNOW_SQL),
     "embedding_norms": QuerySpec(
         _q_embedding_norms,
         "SELECT vec_id, label, round(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 4) AS l2_norm FROM embeddings",

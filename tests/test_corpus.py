@@ -50,3 +50,37 @@ def test_chain_groups_present():
     cl = clusters.set_index("conv_id")["cluster_id"]
     first_chain = sorted(members)[:4]
     assert len({cl[m] for m in first_chain}) == 1
+
+
+def test_winnow_fingerprints_shared_substring_guarantee(spark):
+    """Winnowing guarantee (Schleimer et al.): two docs sharing a
+    substring of length >= k + w - 1 share at least one fingerprint;
+    winnowed sets are ~1/w the density of full shingling."""
+    import numpy as np
+    import dedup_spark.entry_queries as eq
+
+    rng = np.random.Generator(np.random.PCG64(99))
+
+    def txt(n):
+        return "".join(chr(97 + c) for c in rng.integers(0, 26, size=n))
+
+    shared = txt(eq._WIN_K + eq._WIN_W - 1 + 30)
+    docs = [(0, txt(120) + shared + txt(90)), (1, txt(40) + shared + txt(200)),
+            (2, txt(260))]
+    df = spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in docs],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    orig = eq._read
+    eq._read = lambda s_, d_, t_: df
+    try:
+        rows = eq._q_winnow_fingerprints(spark, "unused").collect()
+    finally:
+        eq._read = orig
+    fps = {}
+    for r in rows:
+        fps.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert fps[0] & fps[1], "shared substring must share a fingerprint"
+    # density: winnowed set well below the full gram count
+    n_grams_0 = len(docs[0][1]) - eq._WIN_K + 1
+    assert len(fps[0]) < 0.6 * n_grams_0
