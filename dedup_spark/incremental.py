@@ -1,0 +1,287 @@
+"""Incremental (append-only) whole-conversation dedup.
+
+A production 100-TB corpus grows daily; re-running the full pipeline
+re-pays the shingle/signature UDF cost for every existing conversation
+just to process the appended slice. This module maintains the batch
+pipeline's checkpointed state and updates it for a batch of NEW
+conversations at cost proportional to (new data + affected old convs),
+with an EXACT-equality contract: the updated ``verified_pairs`` /
+``clusters`` / ``deduped_turns`` equal what a full
+:class:`~dedup_spark.pipeline.DedupPipeline` run over (old ∪ new) turns
+would produce (asserted end-to-end in tests/test_incremental.py).
+
+Why exactness is non-trivial — corpus document frequencies DRIFT: a new
+conversation can push an old shingle's df from 1→2 (it ENTERS the
+informative band: old convs containing it gain an informative shingle)
+or from hi→hi+1 (it LEAVES: they lose one). Affected old conversations
+must be re-signed or their candidate/verify behaviour silently diverges
+from a fresh run. The update therefore:
+
+1. shingles ONLY the new conversations (the UDF cost — proportional to
+   new characters);
+2. merges the durable ``(shingle, df)`` state (kept for ALL dfs
+   including 1 — the slim in_band pipeline checkpoint cannot answer
+   "was this df 1 or out-of-band", so incremental state keeps the real
+   count) with the new occurrence counts;
+3. computes the BAND-FLIPPED shingle set (df crossed the [lo, hi]
+   boundary in either direction) and semi-joins the old per-conv
+   shingle arrays to find the affected old conversations;
+4. rebuilds informative sets + signatures for (affected ∪ new) convs
+   only — unchanged convs keep their bit-identical signatures, so every
+   unchanged×unchanged candidate pair and verification verdict is
+   unchanged by construction;
+5. regenerates candidates with the SAME three-tier band self-join as
+   the batch path (cap/salt/drop tiers must match or hot-bucket pairs
+   would differ from a fresh run), keeps only pairs touching a changed
+   conv, re-verifies those, and splices them with the retained
+   old verified edges;
+6. re-runs connected components over the merged edge set (cheap —
+   edges, not corpus) and re-emits survivors.
+
+Scope: branch A (whole-conversation dedup) + emit. The substring branch
+and the stats sink remain full-run features; ``df_band_mode`` must be
+"manual" (auto band selection re-fits on the whole corpus by design —
+an append can legitimately move the fitted band, which invalidates
+every signature; that IS a full rerun).
+
+No reference analog — the reference is a one-shot CLI
+(/root/reference/dedup/dedup.py:648-677); this is part of the
+beyond-reference training-data-pipeline surface.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from dedup_spark.catalog import StageCatalog
+from dedup_spark.config import DedupConfig
+from dedup_spark.operators import lsh, shingling, verify
+from dedup_spark.operators.connected_components import connected_components
+from dedup_spark.operators.transcripts import assemble_transcripts
+from dedup_spark.pipeline import DedupPipeline
+from dedup_spark.util import eager_ckpt
+
+#: durable state tables (StageCatalog names) the incremental path owns
+STATE_DF = "shingle_df_state"
+STATE_TURNS = "turns_state"
+
+
+@dataclass
+class IncrementalResult:
+    verified_pairs: DataFrame
+    clusters: DataFrame
+    deduped_turns: DataFrame
+    n_new_convs: int
+    n_affected_old: int
+    n_resigned: int
+
+
+def _require_manual_band(cfg: DedupConfig) -> None:
+    if cfg.df_band_mode != "manual" or cfg.auto_df_band:
+        raise ValueError(
+            "incremental dedup requires df_band_mode='manual': auto band "
+            "selection re-fits on the whole corpus, so an append can move "
+            "the band and invalidate every signature — that is a full rerun"
+        )
+
+
+class IncrementalDedup:
+    """Stateful incremental wrapper around the batch pipeline.
+
+    ``bootstrap(turns)`` runs the full pipeline once and derives the
+    durable df state; each subsequent ``append(new_turns)`` folds a
+    batch of NEW conversations in. State lives in the same warehouse /
+    StageCatalog as the batch stages (same fingerprint gating)."""
+
+    def __init__(self, spark: SparkSession, cfg: DedupConfig, warehouse: str):
+        _require_manual_band(cfg)
+        self.spark = spark
+        self.cfg = cfg
+        self.pipeline = DedupPipeline(spark, cfg, warehouse)
+        self.cat: StageCatalog = self.pipeline.catalog
+
+    # ------------------------------------------------------------ bootstrap
+
+    def bootstrap(self, turns: DataFrame):
+        """Full batch run + derive the incremental state tables."""
+        res = self.pipeline.run(turns)
+        cat = self.cat
+        sets_df = cat.read("shingle_sets")
+        cat.write(
+            STATE_DF,
+            shingling.shingle_document_frequency(
+                shingling.exploded_shingles(sets_df)
+            ),
+        )
+        cat.write(STATE_TURNS, turns)
+        return res
+
+    # --------------------------------------------------------------- append
+
+    def append(self, new_turns: DataFrame) -> IncrementalResult:
+        cfg, cat, spark = self.cfg, self.cat, self.spark
+        lo, hi = cfg.df_lo, cfg.df_hi
+
+        old_sets = cat.read("shingle_sets")
+        old_sigs = cat.read("signatures")
+        old_verified = cat.read("verified_pairs")
+        old_turns = cat.read(STATE_TURNS)
+        df_state = cat.read(STATE_DF)
+
+        # loud guard: append-only contract (an edited conversation would
+        # need its OLD occurrences subtracted from the df state, which
+        # this path does not do)
+        t_new = eager_ckpt(assemble_transcripts(new_turns))
+        overlap = (
+            t_new.select("conv_id")
+            .join(old_sets.select("conv_id"), "conv_id", "left_semi")
+            .count()
+        )
+        if overlap:
+            raise ValueError(
+                f"{overlap} conv_ids in the append batch already exist in "
+                "state — incremental dedup is append-only (re-run the full "
+                "pipeline for edits/deletes)"
+            )
+
+        # 1. UDF cost proportional to NEW characters only
+        sets_new = eager_ckpt(shingling.shingle_sets(t_new, cfg))
+        df_new = shingling.shingle_document_frequency(
+            shingling.exploded_shingles(sets_new)
+        )
+
+        # 2. exact df merge (full outer: brand-new shingles enter at
+        # their new count, untouched old shingles keep theirs)
+        merged_df = eager_ckpt(
+            df_state.withColumnRenamed("df", "df_old")
+            .join(
+                df_new.withColumnRenamed("df", "df_add"), "shingle", "full_outer"
+            )
+            .select(
+                "shingle",
+                (
+                    F.coalesce("df_old", F.lit(0)) + F.coalesce("df_add", F.lit(0))
+                ).alias("df"),
+                F.coalesce("df_old", F.lit(0)).alias("df_old"),
+            )
+        )
+
+        # 3. band flips → affected OLD conversations. A shingle flips
+        # when its [lo, hi] membership changes; only shingles the append
+        # actually touched can flip (df_add > 0 ⇔ df != df_old).
+        in_band = lambda c: F.col(c).between(F.lit(lo), F.lit(hi))
+        flipped = merged_df.filter(
+            (F.col("df") != F.col("df_old"))
+            & (in_band("df") != in_band("df_old"))
+        ).select("shingle")
+        affected_old = eager_ckpt(
+            shingling.exploded_shingles(old_sets)
+            .join(flipped, "shingle", "left_semi")
+            .select("conv_id")
+            .dropDuplicates()
+        )
+        n_affected = affected_old.count()
+
+        # 4. re-sign (affected ∪ new): informative set = the conv's
+        # distinct shingles whose MERGED df is in band, sorted — exactly
+        # informative_from_ann's construction in a fresh run
+        resign_sets = old_sets.join(affected_old, "conv_id", "left_semi").select(
+            "conv_id", "shingles"
+        ).unionByName(sets_new.select("conv_id", "shingles"))
+        band_shingles = merged_df.filter(in_band("df")).select("shingle")
+        resign_informative = (
+            resign_sets.select("conv_id", F.explode("shingles").alias("shingle"))
+            .join(band_shingles, "shingle", "left_semi")
+            .groupBy("conv_id")
+            .agg(F.array_sort(F.collect_list("shingle")).alias("shingles"))
+        )
+        resigned = eager_ckpt(lsh.compute_signatures(resign_informative, cfg))
+        n_resigned = resigned.count()
+
+        sigs_all = eager_ckpt(
+            old_sigs.join(affected_old, "conv_id", "left_anti").unionByName(
+                resigned
+            )
+        )
+
+        # 5. candidates with the batch-identical three-tier band join
+        # (cap/salt/drop must match a fresh run bucket-for-bucket), then
+        # keep only pairs touching a CHANGED conv — unchanged×unchanged
+        # pairs have bit-identical signatures on both sides, so their
+        # old candidate/verify outcomes are already correct
+        changed = affected_old.unionByName(
+            t_new.select("conv_id")
+        ).dropDuplicates()
+        bands_all = lsh.explode_bands(sigs_all)
+        sizes_all = lsh.band_bucket_sizes(bands_all)
+        cand_all = lsh.candidate_pairs(bands_all, sizes_all, cfg)
+        cand_changed = cand_all.join(
+            changed.select(F.col("conv_id").alias("conv_a")), "conv_a", "left_semi"
+        ).unionByName(
+            cand_all.join(
+                changed.select(F.col("conv_id").alias("conv_b")),
+                "conv_b",
+                "left_semi",
+            )
+        ).dropDuplicates(["conv_a", "conv_b"])
+
+        verified_new = verify.verify_pairs(cand_changed, sigs_all, cfg)
+        kept_old = old_verified.join(
+            changed.select(F.col("conv_id").alias("conv_a")), "conv_a", "left_anti"
+        ).join(
+            changed.select(F.col("conv_id").alias("conv_b")), "conv_b", "left_anti"
+        )
+        verified_all = eager_ckpt(
+            kept_old.unionByName(verified_new).dropDuplicates(
+                ["conv_a", "conv_b"]
+            )
+        )
+
+        # 6. clusters + emit over the merged corpus
+        turns_all = old_turns.unionByName(new_turns)
+        nodes = old_sets.select("conv_id").unionByName(
+            t_new.select("conv_id")
+        ).dropDuplicates()
+        clusters = eager_ckpt(
+            connected_components(
+                nodes, verified_all.select("conv_a", "conv_b"), cfg.cc_max_iters
+            )
+        )
+        dropped = clusters.filter(F.col("conv_id") != F.col("cluster_id")).select(
+            "conv_id"
+        )
+        # MATERIALIZE everything that still references a state path
+        # before the folds below replace those files: the parquet-backed
+        # lazy plans (old_sets / old_turns unions, the emit anti-join)
+        # would otherwise read deleted files on a later action.
+        # (Production refinement: the Iceberg backend appends snapshots
+        # instead of rewriting state wholesale.)
+        deduped = eager_ckpt(turns_all.join(dropped, "conv_id", "left_anti"))
+        new_sets_state = eager_ckpt(old_sets.unionByName(sets_new))
+        new_turns_state = eager_ckpt(turns_all)
+        df_state_out = eager_ckpt(merged_df.select("shingle", "df"))
+
+        # fold the new state in (durable: next append sees it).
+        # invalidate first: cat.stage's live-checkpoint map must not
+        # serve a stale pre-append DataFrame for a rewritten stage.
+        for name, df_out in (
+            ("shingle_sets", new_sets_state),
+            ("signatures", sigs_all),
+            ("verified_pairs", verified_all),
+            (STATE_DF, df_state_out),
+            (STATE_TURNS, new_turns_state),
+            ("clusters", clusters),
+        ):
+            cat.invalidate(name)
+            cat.write(name, df_out)
+
+        return IncrementalResult(
+            verified_pairs=verified_all,
+            clusters=clusters,
+            deduped_turns=deduped,
+            n_new_convs=t_new.count(),
+            n_affected_old=n_affected,
+            n_resigned=n_resigned,
+        )

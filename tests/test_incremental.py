@@ -1,0 +1,154 @@
+"""Incremental append-only dedup: exact equality with a full recompute.
+
+The contract under test (dedup_spark/incremental.py): bootstrap on an
+old corpus slice + append(new slice) must produce IDENTICAL
+verified_pairs, cluster assignments, and surviving turns to a fresh
+DedupPipeline run over the whole corpus — including the df-drift cases
+(a new conv pushing an old shingle into or out of the informative band
+forces old conversations to re-sign).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from dedup_spark.config import DedupConfig
+from dedup_spark.corpus import CorpusSpec, generate_corpus
+from dedup_spark.incremental import IncrementalDedup
+from dedup_spark.pipeline import DedupPipeline
+
+
+def _pairs(df):
+    return {(r.conv_a, r.conv_b) for r in df.select("conv_a", "conv_b").collect()}
+
+
+def _clusters(df):
+    return {r.conv_id: r.cluster_id for r in df.collect()}
+
+
+def _turn_keys(df):
+    return {(r.conv_id, r.turn_idx) for r in df.select("conv_id", "turn_idx").collect()}
+
+
+class TestIncrementalEqualsFull:
+    @pytest.fixture(scope="class")
+    def split_corpus(self, spark):
+        """Planted-duplicate corpus split so dup families straddle the
+        old/new boundary (the interesting incremental case)."""
+        turns_pdf, _, _ = generate_corpus(CorpusSpec(n_convs=120))
+        all_turns = spark.createDataFrame(turns_pdf).cache()
+        convs = sorted({r.conv_id for r in all_turns.select("conv_id").collect()})
+        # deterministic interleaved split: every 4th conv arrives "late",
+        # so near-dup families span the boundary
+        new_ids = set(convs[::4])
+        old = all_turns.filter(~F.col("conv_id").isin(list(new_ids)))
+        new = all_turns.filter(F.col("conv_id").isin(list(new_ids)))
+        return all_turns, old, new
+
+    @pytest.fixture(scope="class")
+    def results(self, spark, split_corpus, tmp_path_factory):
+        all_turns, old, new = split_corpus
+        cfg = DedupConfig()
+        full = DedupPipeline(
+            spark, cfg, str(tmp_path_factory.mktemp("wh_full"))
+        ).run(all_turns)
+        inc = IncrementalDedup(
+            spark, cfg, str(tmp_path_factory.mktemp("wh_inc"))
+        )
+        inc.bootstrap(old)
+        res = inc.append(new)
+        return full, res
+
+    def test_verified_pairs_identical(self, results):
+        full, res = results
+        assert _pairs(res.verified_pairs) == _pairs(full.verified_pairs)
+
+    def test_clusters_identical(self, results):
+        full, res = results
+        assert _clusters(res.clusters) == _clusters(full.clusters)
+
+    def test_survivors_identical(self, results):
+        full, res = results
+        assert _turn_keys(res.deduped_turns) == _turn_keys(full.deduped_turns)
+
+    def test_append_only_guard(self, spark, split_corpus, tmp_path_factory):
+        _, old, _ = split_corpus
+        cfg = DedupConfig()
+        inc = IncrementalDedup(
+            spark, cfg, str(tmp_path_factory.mktemp("wh_guard"))
+        )
+        inc.bootstrap(old)
+        with pytest.raises(ValueError, match="append-only"):
+            inc.append(old.limit(5))
+
+    def test_requires_manual_band(self, spark, tmp_path_factory):
+        with pytest.raises(ValueError, match="manual"):
+            IncrementalDedup(
+                spark,
+                DedupConfig(df_band_mode="tail"),
+                str(tmp_path_factory.mktemp("wh_band")),
+            )
+
+
+class TestDfDriftResign:
+    """Hand-built fixture forcing BOTH flip directions: the append takes
+    one shingle family from df=1→2 (enters the band: two old convs that
+    previously shared nothing verifiable become a dup pair via... ) and
+    another from df=4→5 (leaves the band: the old quad family loses its
+    informative overlap). Equality with a fresh run proves the affected
+    old conversations really re-signed."""
+
+    def _turns(self, spark, convs: dict[str, list[str]]):
+        rows = [
+            (cid, i, "user", txt, None)
+            for cid, ts in convs.items()
+            for i, txt in enumerate(ts)
+        ]
+        return spark.createDataFrame(
+            rows, "conv_id string, turn_idx int, role string, text string, tool string"
+        )
+
+    def test_flips_force_resign_and_equality(self, spark, tmp_path_factory):
+        rng = np.random.Generator(np.random.PCG64(55))
+
+        def seg(n):
+            return "".join(chr(97 + c) for c in rng.integers(0, 26, size=n))
+
+        sA, sB, sC = seg(300), seg(300), seg(300)
+        old = {
+            # quad family at df=4 (in band) sharing sA
+            **{f"q{i}": [sA, seg(60)] for i in range(4)},
+            # pair sharing sB (df=2, in band)
+            "p0": [sB, seg(60)],
+            "p1": [sB, seg(70)],
+            # lone conv holding sC at df=1 (below band)
+            "lone": [sC, seg(80)],
+        }
+        # the append pushes sA to df=5 (LEAVES band) and sC to df=2
+        # (ENTERS band, making lone↔fresh a verifiable pair)
+        new = {
+            "zq_new": [sA, seg(65)],
+            "zc_new": [sC, seg(75)],
+        }
+        old_t = self._turns(spark, old)
+        new_t = self._turns(spark, new)
+        all_t = old_t.unionByName(new_t)
+
+        cfg = DedupConfig()
+        full = DedupPipeline(
+            spark, cfg, str(tmp_path_factory.mktemp("wh_f2"))
+        ).run(all_t)
+        inc = IncrementalDedup(
+            spark, cfg, str(tmp_path_factory.mktemp("wh_i2"))
+        )
+        inc.bootstrap(old_t)
+        res = inc.append(new_t)
+
+        # both flip directions touched old convs → they re-signed
+        assert res.n_affected_old >= 5  # 4×quad + lone (p0/p1 untouched)
+        assert _pairs(res.verified_pairs) == _pairs(full.verified_pairs)
+        assert _clusters(res.clusters) == _clusters(full.clusters)
+        # the entering flip creates the lone↔zc_new pair in BOTH paths
+        assert ("lone", "zc_new") in _pairs(res.verified_pairs)
