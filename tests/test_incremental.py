@@ -152,3 +152,34 @@ class TestDfDriftResign:
         assert _clusters(res.clusters) == _clusters(full.clusters)
         # the entering flip creates the lone↔zc_new pair in BOTH paths
         assert ("lone", "zc_new") in _pairs(res.verified_pairs)
+
+
+class TestChainedAppends:
+    """Two consecutive appends exercise the state-folding path (the
+    second append reads the rewritten state tables): the chain must
+    still equal one full recompute."""
+
+    def test_two_appends_equal_full(self, spark, tmp_path_factory):
+        turns_pdf, _, _ = generate_corpus(CorpusSpec(n_convs=90))
+        all_turns = spark.createDataFrame(turns_pdf).cache()
+        convs = sorted({r.conv_id for r in all_turns.select("conv_id").collect()})
+        s1 = set(convs[: len(convs) // 2])
+        s2 = set(convs[len(convs) // 2 : 3 * len(convs) // 4])
+        t1 = all_turns.filter(F.col("conv_id").isin(list(s1)))
+        t2 = all_turns.filter(F.col("conv_id").isin(list(s2)))
+        t3 = all_turns.filter(~F.col("conv_id").isin(list(s1 | s2)))
+
+        cfg = DedupConfig()
+        full = DedupPipeline(
+            spark, cfg, str(tmp_path_factory.mktemp("wh_fc"))
+        ).run(all_turns)
+        inc = IncrementalDedup(
+            spark, cfg, str(tmp_path_factory.mktemp("wh_ic"))
+        )
+        inc.bootstrap(t1)
+        inc.append(t2)
+        res = inc.append(t3)
+
+        assert _pairs(res.verified_pairs) == _pairs(full.verified_pairs)
+        assert _clusters(res.clusters) == _clusters(full.clusters)
+        assert _turn_keys(res.deduped_turns) == _turn_keys(full.deduped_turns)
