@@ -276,6 +276,22 @@ class IncrementalDedup:
         ):
             cat.invalidate(name)
             cat.write(name, df_out)
+        # Batch stages NOT folded above are now stale w.r.t. the merged
+        # corpus; the config fingerprint cannot see data drift, so a
+        # later batch run on this warehouse would silently resume them
+        # against the folded tables. Invalidate them: a subsequent
+        # DedupPipeline.run(old ∪ new) recomputes exactly those (and
+        # cheaply REUSES the folded sets/signatures/verified/clusters,
+        # which are already full-corpus-correct — regression-tested in
+        # tests/test_incremental.py).
+        for stale in (
+            "transcripts", "shingle_ann", "informative_sets",
+            "bucket_sizes", "skew_report", "candidate_pairs",
+            "deduped_turns", "stats", "key_occ_repeated", "anchor_skew",
+            "substring_chains", "position_classes", "substring_spans",
+            "interval_marks", "trimmed_turns",
+        ):
+            cat.invalidate(stale)
 
         return IncrementalResult(
             verified_pairs=verified_all,

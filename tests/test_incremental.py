@@ -183,3 +183,37 @@ class TestChainedAppends:
         assert _pairs(res.verified_pairs) == _pairs(full.verified_pairs)
         assert _clusters(res.clusters) == _clusters(full.clusters)
         assert _turn_keys(res.deduped_turns) == _turn_keys(full.deduped_turns)
+
+
+class TestPostAppendBatchRun:
+    """After append() the warehouse must be SAFE for a subsequent batch
+    run: folded tables (sets/signatures/verified/clusters) are
+    full-corpus-correct and get reused; un-folded batch stages were
+    invalidated (data drift is invisible to the config fingerprint) and
+    recompute. The combined run must equal a fresh full run."""
+
+    def test_batch_run_on_appended_warehouse(self, spark, tmp_path_factory):
+        turns_pdf, _, _ = generate_corpus(CorpusSpec(n_convs=80))
+        all_turns = spark.createDataFrame(turns_pdf).cache()
+        convs = sorted({r.conv_id for r in all_turns.select("conv_id").collect()})
+        new_ids = set(convs[::5])
+        old = all_turns.filter(~F.col("conv_id").isin(list(new_ids)))
+        new = all_turns.filter(F.col("conv_id").isin(list(new_ids)))
+
+        cfg = DedupConfig()
+        wh = str(tmp_path_factory.mktemp("wh_pab"))
+        inc = IncrementalDedup(spark, cfg, wh)
+        inc.bootstrap(old)
+        inc.append(new)
+
+        # batch run on the SAME warehouse over the merged corpus
+        mixed = DedupPipeline(spark, cfg, wh).run(all_turns)
+        fresh = DedupPipeline(
+            spark, cfg, str(tmp_path_factory.mktemp("wh_fresh"))
+        ).run(all_turns)
+
+        assert _pairs(mixed.verified_pairs) == _pairs(fresh.verified_pairs)
+        assert _clusters(mixed.clusters) == _clusters(fresh.clusters)
+        assert _turn_keys(mixed.deduped_turns) == _turn_keys(fresh.deduped_turns)
+        # substring branch (recomputed from invalidated stages) agrees too
+        assert _pairs(mixed.substring_spans) == _pairs(fresh.substring_spans)
