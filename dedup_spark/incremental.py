@@ -30,11 +30,15 @@ from a fresh run. The update therefore:
    only — unchanged convs keep their bit-identical signatures, so every
    unchanged×unchanged candidate pair and verification verdict is
    unchanged by construction;
-5. regenerates candidates with the SAME three-tier band self-join as
-   the batch path (cap/salt/drop tiers must match or hot-bucket pairs
-   would differ from a fresh run), keeps only pairs touching a changed
-   conv, re-verifies those, and splices them with the retained
-   old verified edges;
+5. regenerates candidates with the SAME three-tier band logic as the
+   batch path via a ONE-SIDED band join (left side restricted to
+   changed convs, tier decisions from global bucket sizes — pair volume
+   ∝ changed-conv bucket membership, not Σ bucket²), re-verifies those,
+   and splices them with the retained old verified edges. Candidacy is
+   a GLOBAL property: a bucket the append pushes across the drop
+   threshold changes outcomes for unchanged convs inside it, so every
+   member of a drop-tier-crossing bucket is promoted into the changed
+   set first;
 6. re-runs connected components over the merged edge set (cheap —
    edges, not corpus) and re-emits survivors.
 
@@ -42,7 +46,10 @@ Scope: branch A (whole-conversation dedup) + emit. The substring branch
 and the stats sink remain full-run features; ``df_band_mode`` must be
 "manual" (auto band selection re-fits on the whole corpus by design —
 an append can legitimately move the fitted band, which invalidates
-every signature; that IS a full rerun).
+every signature; that IS a full rerun), ``df_lo`` must be ≥ 2 (batch
+parity), and ``candidate_source`` must be "banding" (the prefix path
+would need its own changed-pair restriction). All state reads are
+fingerprint-gated like batch stage resume.
 
 No reference analog — the reference is a one-shot CLI
 (/root/reference/dedup/dedup.py:648-677); this is part of the
@@ -73,17 +80,32 @@ class IncrementalResult:
     verified_pairs: DataFrame
     clusters: DataFrame
     deduped_turns: DataFrame
+    skew_report: DataFrame
     n_new_convs: int
     n_affected_old: int
     n_resigned: int
 
 
-def _require_manual_band(cfg: DedupConfig) -> None:
+def _require_supported_config(cfg: DedupConfig) -> None:
     if cfg.df_band_mode != "manual" or cfg.auto_df_band:
         raise ValueError(
             "incremental dedup requires df_band_mode='manual': auto band "
             "selection re-fits on the whole corpus, so an append can move "
             "the band and invalidate every signature — that is a full rerun"
+        )
+    if cfg.df_lo < 2:
+        raise ValueError(
+            "incremental dedup requires df_lo >= 2: the batch path "
+            "pre-filters df >= 2 before band membership, and with df_lo=1 "
+            "a 1→2 df move is invisible to band-flip detection (both sides "
+            "in band) while changing the fresh-run informative sets"
+        )
+    if cfg.candidate_source != "banding":
+        raise ValueError(
+            "incremental dedup currently supports candidate_source="
+            "'banding' only: the prefix-filter path would need its own "
+            "changed-pair restriction to keep the exact-equality contract "
+            "— run the full pipeline for prefix-configured dedup"
         )
 
 
@@ -96,11 +118,24 @@ class IncrementalDedup:
     StageCatalog as the batch stages (same fingerprint gating)."""
 
     def __init__(self, spark: SparkSession, cfg: DedupConfig, warehouse: str):
-        _require_manual_band(cfg)
+        _require_supported_config(cfg)
         self.spark = spark
         self.cfg = cfg
         self.pipeline = DedupPipeline(spark, cfg, warehouse)
         self.cat: StageCatalog = self.pipeline.catalog
+
+    def _read_state(self, name: str) -> DataFrame:
+        """Fingerprint-GATED state read: a bare cat.read would silently
+        accept tables written under a different config (e.g. another
+        shingle_k), merging incompatible hash spaces — exists() checks
+        the sidecar fingerprint the way batch stage resume does."""
+        if not self.cat.exists(name):
+            raise RuntimeError(
+                f"incremental state table '{name}' is missing or was "
+                "written under a different config fingerprint — bootstrap "
+                "this warehouse with the current config first"
+            )
+        return self.cat.read(name)
 
     # ------------------------------------------------------------ bootstrap
 
@@ -124,11 +159,11 @@ class IncrementalDedup:
         cfg, cat, spark = self.cfg, self.cat, self.spark
         lo, hi = cfg.df_lo, cfg.df_hi
 
-        old_sets = cat.read("shingle_sets")
-        old_sigs = cat.read("signatures")
-        old_verified = cat.read("verified_pairs")
-        old_turns = cat.read(STATE_TURNS)
-        df_state = cat.read(STATE_DF)
+        old_sets = self._read_state("shingle_sets")
+        old_sigs = self._read_state("signatures")
+        old_verified = self._read_state("verified_pairs")
+        old_turns = self._read_state(STATE_TURNS)
+        df_state = self._read_state(STATE_DF)
 
         # loud guard: append-only contract (an edited conversation would
         # need its OLD occurrences subtracted from the df state, which
@@ -185,47 +220,72 @@ class IncrementalDedup:
         n_affected = affected_old.count()
 
         # 4. re-sign (affected ∪ new): informative set = the conv's
-        # distinct shingles whose MERGED df is in band, sorted — exactly
-        # informative_from_ann's construction in a fresh run
+        # distinct shingles whose MERGED df is in band, sorted — the
+        # SAME construction as the batch path (shared helper)
         resign_sets = old_sets.join(affected_old, "conv_id", "left_semi").select(
             "conv_id", "shingles"
         ).unionByName(sets_new.select("conv_id", "shingles"))
-        band_shingles = merged_df.filter(in_band("df")).select("shingle")
-        resign_informative = (
-            resign_sets.select("conv_id", F.explode("shingles").alias("shingle"))
-            .join(band_shingles, "shingle", "left_semi")
-            .groupBy("conv_id")
-            .agg(F.array_sort(F.collect_list("shingle")).alias("shingles"))
+        resign_informative = shingling.informative_shingle_sets(
+            resign_sets.select("conv_id", F.explode("shingles").alias("shingle")),
+            merged_df.select("shingle", "df"),
+            lo,
+            hi,
         )
         resigned = eager_ckpt(lsh.compute_signatures(resign_informative, cfg))
         n_resigned = resigned.count()
 
         sigs_all = eager_ckpt(
             old_sigs.join(affected_old, "conv_id", "left_anti").unionByName(
-                resigned
+                resigned.select(*old_sigs.columns)
             )
         )
 
-        # 5. candidates with the batch-identical three-tier band join
-        # (cap/salt/drop must match a fresh run bucket-for-bucket), then
-        # keep only pairs touching a CHANGED conv — unchanged×unchanged
-        # pairs have bit-identical signatures on both sides, so their
-        # old candidate/verify outcomes are already correct
-        changed = affected_old.unionByName(
-            t_new.select("conv_id")
-        ).dropDuplicates()
+        # 5. candidates. Correctness subtlety: candidacy is a function
+        # of GLOBAL bucket size, not just the two signatures — a bucket
+        # the append pushes across the drop threshold
+        # (max_salted_bucket) changes the candidate set of UNCHANGED
+        # conv pairs inside it (a fresh run drops/salvages them
+        # differently). So "changed" convs = (df-flip affected ∪ new) ∪
+        # every member of a bucket whose DROP-tier membership differs
+        # between the old and the spliced signatures. Plain↔salted
+        # crossings produce identical pair sets (salting loses nothing),
+        # and 1↔2-size crossings only involve changed members, so the
+        # drop boundary is the only one that matters.
+        bands_old = lsh.explode_bands(old_sigs)
+        sizes_old = lsh.band_bucket_sizes(bands_old)
         bands_all = lsh.explode_bands(sigs_all)
-        sizes_all = lsh.band_bucket_sizes(bands_all)
-        cand_all = lsh.candidate_pairs(bands_all, sizes_all, cfg)
-        cand_changed = cand_all.join(
-            changed.select(F.col("conv_id").alias("conv_a")), "conv_a", "left_semi"
-        ).unionByName(
-            cand_all.join(
-                changed.select(F.col("conv_id").alias("conv_b")),
-                "conv_b",
-                "left_semi",
+        sizes_all = eager_ckpt(lsh.band_bucket_sizes(bands_all))
+        drop = cfg.max_salted_bucket
+        tier_changed_buckets = (
+            sizes_old.withColumnRenamed("bucket_size", "sz_old")
+            .join(
+                sizes_all.withColumnRenamed("bucket_size", "sz_new"),
+                ["band_id", "band_hash"],
+                "full_outer",
             )
-        ).dropDuplicates(["conv_a", "conv_b"])
+            .filter(
+                (F.coalesce("sz_old", F.lit(0)) > drop)
+                != (F.coalesce("sz_new", F.lit(0)) > drop)
+            )
+            .select("band_id", "band_hash")
+        )
+        tier_changed_convs = (
+            bands_old.unionByName(bands_all)
+            .join(tier_changed_buckets, ["band_id", "band_hash"], "left_semi")
+            .select("conv_id")
+            .dropDuplicates()
+        )
+        changed = eager_ckpt(
+            affected_old.unionByName(t_new.select("conv_id"))
+            .unionByName(tier_changed_convs)
+            .dropDuplicates()
+        )
+        # one-sided three-tier join: volume ∝ changed convs' bucket
+        # membership, tier decisions from the GLOBAL sizes — exactly the
+        # changed-touching subset of a fresh run's candidate set
+        cand_changed = lsh.candidate_pairs(
+            bands_all, sizes_all, cfg, left_convs=changed
+        )
 
         verified_new = verify.verify_pairs(cand_changed, sigs_all, cfg)
         kept_old = old_verified.join(
@@ -238,6 +298,9 @@ class IncrementalDedup:
                 ["conv_a", "conv_b"]
             )
         )
+        # dropped-bucket observability for THIS append ("dropped, never
+        # silently" policy): freshened below after the stale-stage sweep
+        skew = eager_ckpt(lsh.skew_report(sizes_all, cfg))
 
         # 6. clusters + emit over the merged corpus
         turns_all = old_turns.unionByName(new_turns)
@@ -249,16 +312,13 @@ class IncrementalDedup:
                 nodes, verified_all.select("conv_a", "conv_b"), cfg.cc_max_iters
             )
         )
-        dropped = clusters.filter(F.col("conv_id") != F.col("cluster_id")).select(
-            "conv_id"
-        )
         # MATERIALIZE everything that still references a state path
         # before the folds below replace those files: the parquet-backed
         # lazy plans (old_sets / old_turns unions, the emit anti-join)
         # would otherwise read deleted files on a later action.
         # (Production refinement: the Iceberg backend appends snapshots
         # instead of rewriting state wholesale.)
-        deduped = eager_ckpt(turns_all.join(dropped, "conv_id", "left_anti"))
+        deduped = eager_ckpt(DedupPipeline._emit(turns_all, clusters))
         new_sets_state = eager_ckpt(old_sets.unionByName(sets_new))
         new_turns_state = eager_ckpt(turns_all)
         df_state_out = eager_ckpt(merged_df.select("shingle", "df"))
@@ -292,11 +352,15 @@ class IncrementalDedup:
             "interval_marks", "trimmed_turns",
         ):
             cat.invalidate(stale)
+        # fresh dropped-bucket report for the spliced corpus (never
+        # silent: the stale bootstrap-era report was just invalidated)
+        cat.write("skew_report", skew)
 
         return IncrementalResult(
             verified_pairs=verified_all,
             clusters=clusters,
             deduped_turns=deduped,
+            skew_report=skew,
             n_new_convs=t_new.count(),
             n_affected_old=n_affected,
             n_resigned=n_resigned,

@@ -217,3 +217,87 @@ class TestPostAppendBatchRun:
         assert _turn_keys(mixed.deduped_turns) == _turn_keys(fresh.deduped_turns)
         # substring branch (recomputed from invalidated stages) agrees too
         assert _pairs(mixed.substring_spans) == _pairs(fresh.substring_spans)
+
+
+class TestReviewHardening:
+    """Guards + the bucket-tier-crossing exactness case surfaced by code
+    review: candidacy is a function of GLOBAL bucket size, so a bucket
+    the append pushes across the drop threshold must re-evaluate the
+    unchanged convs inside it."""
+
+    def test_prefix_source_rejected(self, spark, tmp_path_factory):
+        with pytest.raises(ValueError, match="banding"):
+            IncrementalDedup(
+                spark,
+                DedupConfig(candidate_source="prefix", use_simhash_filter=False),
+                str(tmp_path_factory.mktemp("wh_pref")),
+            )
+
+    def test_df_lo_1_rejected(self, spark, tmp_path_factory):
+        with pytest.raises(ValueError, match="df_lo"):
+            IncrementalDedup(
+                spark,
+                DedupConfig(df_lo=1),
+                str(tmp_path_factory.mktemp("wh_lo")),
+            )
+
+    def test_stale_fingerprint_state_rejected(self, spark, tmp_path_factory):
+        """State written under one config must not silently feed an
+        append under another (different shingle_k = different hash
+        space)."""
+        wh = str(tmp_path_factory.mktemp("wh_fp"))
+        turns = spark.createDataFrame(
+            [("c", 0, "user", "x" * 40, None), ("d", 0, "user", "y" * 40, None)],
+            "conv_id string, turn_idx int, role string, text string, tool string",
+        )
+        IncrementalDedup(spark, DedupConfig(shingle_k=17), wh).bootstrap(turns)
+        other = IncrementalDedup(spark, DedupConfig(shingle_k=13), wh)
+        new = spark.createDataFrame(
+            [("e", 0, "user", "z" * 40, None)],
+            "conv_id string, turn_idx int, role string, text string, tool string",
+        )
+        with pytest.raises(RuntimeError, match="fingerprint"):
+            other.append(new)
+
+    def test_drop_tier_crossing_reevaluates_unchanged_pairs(
+        self, spark, tmp_path_factory
+    ):
+        """3 identical old convs share every band bucket (size 3 = the
+        salted tier → all 3 pairs verified at bootstrap). Appending a
+        4th identical conv pushes every bucket over max_salted_bucket=3
+        WITHOUT any df flip (3→4 stays inside the [2,4] band) — a fresh
+        run drops the buckets and verifies nothing, and the incremental
+        path must agree (the old pairs may NOT survive via kept_old)."""
+
+        def turns_df(convs):
+            rows = [
+                (cid, i, "user", txt, None)
+                for cid, ts in convs.items()
+                for i, txt in enumerate(ts)
+            ]
+            return spark.createDataFrame(
+                rows,
+                "conv_id string, turn_idx int, role string, text string, tool string",
+            )
+
+        doc = "the quick brown fox jumps over the lazy dog " * 4
+        old = {f"c{i}": [doc] for i in range(3)}
+        new = {"c3": [doc]}
+        cfg = DedupConfig(max_band_bucket=2, max_salted_bucket=3)
+
+        full = DedupPipeline(
+            spark, cfg, str(tmp_path_factory.mktemp("wh_tc_f"))
+        ).run(turns_df({**old, **new}))
+        inc = IncrementalDedup(
+            spark, cfg, str(tmp_path_factory.mktemp("wh_tc_i"))
+        )
+        boot = inc.bootstrap(turns_df(old))
+        assert _pairs(boot.verified_pairs) == {
+            ("c0", "c1"), ("c0", "c2"), ("c1", "c2")
+        }
+        res = inc.append(turns_df(new))
+
+        assert _pairs(res.verified_pairs) == _pairs(full.verified_pairs) == set()
+        assert _clusters(res.clusters) == _clusters(full.clusters)
+        # the drop is REPORTED, never silent
+        assert res.skew_report.count() > 0
