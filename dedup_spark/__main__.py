@@ -68,7 +68,18 @@ def main(argv: list[str] | None = None) -> int:
                          "large pairs, whose Hamming distance is near "
                          "random)")
     ap.add_argument("--report", help="write a one-line JSON run report here")
+    ap.add_argument("--bootstrap", action="store_true",
+                    help="run the full pipeline AND write incremental "
+                         "state so later --append runs can fold new "
+                         "conversations in (dedup_spark/incremental.py)")
+    ap.add_argument("--append", metavar="PATH",
+                    help="parquet of NEW turns to fold into a warehouse "
+                         "previously created with --bootstrap: exact-"
+                         "equality incremental append (shingle UDF runs "
+                         "only on the new data)")
     args = ap.parse_args(argv)
+    if args.append and args.bootstrap:
+        ap.error("--append and --bootstrap are mutually exclusive")
 
     from dedup_spark.config import DedupConfig
     from dedup_spark.pipeline import DedupPipeline
@@ -84,6 +95,37 @@ def main(argv: list[str] | None = None) -> int:
     )
     spark = get_spark(master=args.master, app_name="dedup_spark_cli")
 
+    if args.append:
+        from dedup_spark.incremental import IncrementalDedup
+
+        inc = IncrementalDedup(spark, cfg, args.warehouse)
+        new_turns = spark.read.parquet(args.append)
+        spark.range(1_000_000).selectExpr("sum(id)").collect()  # warmup
+        t0 = time.monotonic()
+        res = inc.append(new_turns)
+        wall = time.monotonic() - t0
+        n_new_turns = _parquet_rows(args.append)
+        report = {
+            "mode": "incremental_append",
+            "n_new_turns": n_new_turns,
+            "n_new_convs": res.n_new_convs,
+            "n_affected_old": res.n_affected_old,
+            "n_resigned": res.n_resigned,
+            "n_verified_pairs": res.verified_pairs.count(),
+            "n_clusters": res.clusters.filter("conv_id = cluster_id").count(),
+            "skewed_buckets": res.skew_report.count(),
+            "wall_sec": round(wall, 3),
+            "new_turns_per_sec": round(n_new_turns / wall, 1),
+            "master": spark.sparkContext.master,
+        }
+        line = json.dumps(report)
+        print(line)
+        if args.report:
+            with open(args.report, "w") as f:
+                f.write(line + "\n")
+        spark.stop()
+        return 0
+
     turns_path = args.turns
     if not turns_path:
         from dedup_spark.corpus import CorpusSpec, generate_corpus
@@ -96,13 +138,21 @@ def main(argv: list[str] | None = None) -> int:
             ).parquet(turns_path)
 
     turns = spark.read.parquet(turns_path)
-    pipe = DedupPipeline(spark, cfg, args.warehouse)
+    if args.bootstrap:
+        from dedup_spark.incremental import IncrementalDedup
+
+        inc = IncrementalDedup(spark, cfg, args.warehouse)
+        pipe = inc.pipeline
+        runner = lambda t: inc.bootstrap(t)  # noqa: E731
+    else:
+        pipe = DedupPipeline(spark, cfg, args.warehouse)
+        runner = pipe.run
     # Untimed warmup: the first action in a fresh session pays executor
     # init + first-codegen latency that is cluster startup, not pipeline
     # throughput (same rationale as bench.py's warmup).
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     t0 = time.monotonic()
-    res = pipe.run(turns)
+    res = runner(turns)
     wall = time.monotonic() - t0
     # Every stage is already materialized on disk when run() returns, so
     # the report reads row counts from the stage metrics (parquet footer
