@@ -221,6 +221,37 @@ def fit_ivf_centroids(
     return cent
 
 
+def sample_training_vectors(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    target: int = 2048,
+    n_vectors: int | None = None,
+) -> np.ndarray:
+    """Deterministic distributed hash-sample of ~``target`` vectors for
+    centroid training. The filter ``pmod(xxhash64(id), mod) == 0`` with
+    ``mod = ceil(n / target)`` keeps an expected ``n/mod <= target``
+    rows, so the driver collect is BOUNDED by the target (± Poisson
+    noise), never by the corpus — k-means quality needs only ~100×
+    n_lists points (FAISS guidance), so a full-corpus collect buys
+    nothing and OOMs the driver at scale. Deterministic: same ids →
+    same sample, independent of partitioning."""
+    n = n_vectors if n_vectors is not None else emb.count()
+    mod = max(1, -(-n // max(target, 1)))  # ceil(n / target)
+    cast = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    rows = (
+        emb.filter(F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(mod)) == 0)
+        .select(cast.alias("cv"))
+        .collect()
+    )
+    if not rows:
+        # degenerate tiny-corpus + unlucky hash: fall back to the first
+        # partition's worth via the same deterministic order (n <= mod
+        # here, so this collect is bounded by target too)
+        rows = emb.select(cast.alias("cv")).limit(max(target, 1)).collect()
+    return np.stack([r["cv"] for r in rows])
+
+
 def make_ivf_assign_udf(centroids: np.ndarray, n_probes: int):
     """array<float> embedding → array<int> of the ``n_probes`` nearest
     list ids, ascending by L2 distance (stable ties) — probe 0 is the
@@ -259,11 +290,12 @@ def ivf_topk(
     queries probe their ``n_probes`` nearest lists, exact cosine only
     inside probed lists. Returns (query_id, neighbor_id, sim, rank).
 
-    ``centroids=None`` trains driver-side on the full (collected)
-    corpus — interactive-scale convenience. At corpus scale pass
-    pre-fit centroids (train on a hash-sample: k-means quality needs
-    only ~100× n_lists points) so the plan stays collect-free; the
-    centroid matrix is a closure broadcast either way. Lists larger
+    ``centroids=None`` trains driver-side on a deterministic
+    distributed hash-sample of ~``max(100·n_lists, 2048)`` vectors
+    (:func:`sample_training_vectors`) — NO code path collects an
+    unbounded corpus. Callers may still pass pre-fit centroids (e.g.
+    trained once and reused across queries); the centroid matrix is a
+    closure broadcast either way. Lists larger
     than ``max_list`` are excluded from scoring and surface via
     :func:`ivf_skew_report` — same cap+report contract as every bucket
     join in this engine. With ``n_probes = n_lists`` the probed set is
@@ -271,8 +303,8 @@ def ivf_topk(
     oracle anchor the driver query uses."""
     cast = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     if centroids is None:
-        sample = np.stack(
-            [r["cv"] for r in emb.select(cast.alias("cv")).collect()]
+        sample = sample_training_vectors(
+            emb, id_col, vec_col, target=max(100 * n_lists, 2048)
         )
         centroids = fit_ivf_centroids(sample, n_lists, seed, n_iters)
     assign1 = make_ivf_assign_udf(centroids, 1)

@@ -58,8 +58,9 @@ def candidate_pairs(
     block_cols: tuple[str, ...] = ("lang", "source"),
     id_col: str = "doc_id",
     threshold: float = 0.2,
+    plus1: bool = True,
 ) -> DataFrame:
-    """Exact candidates for ``common > threshold * (n_small + 1)``
+    """Exact candidates for ``common > threshold * (n_small + plus1)``
     within blocks.
 
     ``doc_tokens``: one row per document with ``id_col``, the
@@ -70,13 +71,21 @@ def candidate_pairs(
     ``block_cols`` may be empty (one global block — the pipeline path,
     where candidate pairs may cross any attribute). ``threshold`` is
     converted to an exact rational so the per-stratum required overlap
-    ``c_s = floor(t·(2^s + 1)) + 1`` stays integer-exact (no float
-    rounding can cost a candidate): c_s = (num·(2^s+1)) DIV den + 1.
+    ``c_s = floor(t·(2^s + plus1)) + 1`` stays integer-exact (no float
+    rounding can cost a candidate): c_s = (num·(2^s+plus1)) DIV den + 1.
+
+    ``plus1`` MUST mirror the verify predicate's denominator
+    (DedupConfig.containment_plus1, the reference's +1 at
+    dedup.py:363-364): with plus1 off, verify accepts the strictly
+    weaker ``common > t·n_small``, so the required-overlap floor drops
+    by up to 1 — deriving c_s from the wrong setting silently misses
+    boundary pairs with t·n_small < common <= t·(n_small+1).
     """
     from fractions import Fraction
 
     frac = Fraction(threshold).limit_denominator(1_000_000)
     t_num, t_den = frac.numerator, frac.denominator
+    p1 = 1 if plus1 else 0
     bc = list(block_cols)
     # one fused int64 block key: every downstream shuffle/join keys on
     # two longs instead of an N-column string composite. No blocking →
@@ -116,13 +125,13 @@ def candidate_pairs(
         ranked.withColumn("s_own", strat)
         .join(F.broadcast(min_strat), "blk")
         .withColumn("s", F.explode(F.sequence("s_min", "s_own")))
-        # c_s = (num·(2^s + 1)) DIV den + 1, integer-exact (common is an
-        # integer, so common > t·(n+1) ⇔ common >= floor(t·(n+1)) + 1;
-        # at the default t = 1/5 this is the round-3 (2^s+1) DIV 5 + 1)
+        # c_s = (num·(2^s + plus1)) DIV den + 1, integer-exact (common is
+        # an integer, so common > t·(n+p) ⇔ common >= floor(t·(n+p)) + 1;
+        # at the default t = 1/5, plus1=True this is (2^s+1) DIV 5 + 1)
         .withColumn(
             "c_s",
             F.expr(
-                f"({t_num} * (shiftleft(CAST(1 AS BIGINT), s) + 1)) "
+                f"({t_num} * (shiftleft(CAST(1 AS BIGINT), s) + {p1})) "
                 f"DIV {t_den} + 1"
             ),
         )

@@ -217,6 +217,7 @@ class DedupPipeline:
                 cand = prefix_filter.candidate_pairs(
                     toks, block_cols=(), id_col="conv_id",
                     threshold=cfg.verify_containment,
+                    plus1=cfg.containment_plus1,
                 )
                 return cand.select(
                     F.col("doc_a").alias("conv_a"), F.col("doc_b").alias("conv_b")

@@ -10,8 +10,27 @@ rather than the 200 default.
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import SparkSession
+
+#: a JVM garbage-collector *selection* flag (-XX:+UseParallelGC,
+#: -XX:+UseG1GC, -XX:+UseZGC, ...) — tuning flags like
+#: -XX:MaxGCPauseMillis deliberately do NOT match
+_GC_SELECT = re.compile(r"-XX:\+Use\w*GC\b")
+
+
+def compose_driver_jvm_opts(user_opts: str | None, gc_opts: str) -> str:
+    """Compose caller-supplied driver JVM options with the default GC
+    choice. The default GC flag is appended ONLY when the caller has not
+    already selected a collector: two GC selection flags make the JVM
+    refuse to start ('Multiple garbage collectors selected'), so a
+    caller passing -XX:+UseG1GC keeps exactly their flags."""
+    if not user_opts:
+        return gc_opts
+    if _GC_SELECT.search(user_opts):
+        return user_opts
+    return f"{user_opts} {gc_opts}"
 
 
 def get_spark(
@@ -30,15 +49,18 @@ def get_spark(
     # Driver JVM options COMPOSE instead of replacing: a caller-supplied
     # spark.driver.extraJavaOptions (extra_conf) keeps its flags (-Xss,
     # GC logging, ...) with our GC choice appended — a plain
-    # builder.config would overwrite whichever side ran last.
-    # SPARK_GRAFT_GC carries the FULL GC/JVM flag string (documented
-    # contract: setting it replaces the default GC flag, not the user's
-    # other options); users relying on spark-defaults.conf for driver
-    # JVM options should pass them via extra_conf or SPARK_GRAFT_GC.
+    # builder.config would overwrite whichever side ran last. A caller
+    # who SELECTS their own collector keeps it unchallenged (see
+    # compose_driver_jvm_opts — duplicate GC selection flags abort JVM
+    # startup). SPARK_GRAFT_GC carries the FULL GC/JVM flag string
+    # (documented contract: setting it replaces the default GC flag, not
+    # the user's other options); users relying on spark-defaults.conf
+    # for driver JVM options should pass them via extra_conf or
+    # SPARK_GRAFT_GC.
     extra_conf = dict(extra_conf or {})
     gc_opts = os.environ.get("SPARK_GRAFT_GC", "-XX:+UseParallelGC")
     user_jvm = extra_conf.pop("spark.driver.extraJavaOptions", None)
-    driver_jvm_opts = f"{user_jvm} {gc_opts}" if user_jvm else gc_opts
+    driver_jvm_opts = compose_driver_jvm_opts(user_jvm, gc_opts)
     builder = SparkSession.builder.appName(app_name)
     if master is not None:
         builder = builder.master(master)

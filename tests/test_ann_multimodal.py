@@ -328,3 +328,37 @@ class TestIvf:
         # can legitimately stay under the cap — only over-cap ones drop)
         assert got_c <= got_u
         assert got_c != got_u
+
+
+class TestIvfSampleTraining:
+    """centroids=None must never collect an unbounded corpus: training
+    vectors come from a deterministic hash-sample bounded by the target
+    (VERDICT r4 'What's wrong #1')."""
+
+    def test_sample_bound_and_determinism(self, spark):
+        rng = np.random.Generator(np.random.PCG64(7))
+        vecs = {i: rng.standard_normal(DIM) for i in range(500)}
+        df = _emb_df(spark, vecs)
+        s1 = ann.sample_training_vectors(df, target=60)
+        s2 = ann.sample_training_vectors(df, target=60)
+        # expected n/mod = 500/ceil(500/60) = ~55; Poisson noise stays
+        # well under 3x the target, and never the whole corpus
+        assert 0 < s1.shape[0] <= 180
+        assert s1.shape == s2.shape and np.array_equal(s1, s2)
+
+    def test_default_centroids_exhaustive_still_exact(self, spark):
+        """Sampled training changes the lists, never the exhaustive-probe
+        answer: n_probes == n_lists equals brute force regardless of the
+        centroids (the driver-oracle invariant is sample-independent)."""
+        vecs, _ = _cluster_vecs(seed=3, n_clusters=6, per=25)  # 150 vecs
+        df = _emb_df(spark, vecs)
+        queries = df.filter(F.col("vec_id") < 4)
+        got = ann.ivf_topk(df, queries, k=3, n_lists=6, n_probes=6, seed=42)
+        brute = {
+            (r["query_id"], r["rank"]): r["neighbor_id"]
+            for r in ann.ivf_topk(
+                df, queries, k=3, n_lists=1, n_probes=1, seed=42
+            ).collect()
+        }
+        for r in got.collect():
+            assert brute[(r["query_id"], r["rank"])] == r["neighbor_id"]

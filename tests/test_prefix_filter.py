@@ -90,3 +90,73 @@ def test_exact_recall_random_corpus(spark):
     # and it actually prunes: strictly fewer candidates than all pairs
     n_block_pairs = sum(1 for a, _, _, _ in rows for b, _, _, _ in rows if a < b)
     assert len(cand) < n_block_pairs
+
+
+def _qualifying_pairs_noplus1(rows):
+    """Exhaustive reference WITHOUT the +1: common > 0.2 * n_small."""
+    toksets = {r[0]: (r[1], r[2], set(r[3].split(" "))) for r in rows}
+    out = set()
+    ids = sorted(toksets)
+    for i, da in enumerate(ids):
+        la, sa, ta = toksets[da]
+        for db in ids[i + 1:]:
+            lb, sb, tb = toksets[db]
+            if (la, sa) != (lb, sb):
+                continue
+            if len(ta & tb) > 0.2 * min(len(ta), len(tb)):
+                out.add((da, db))
+    return out
+
+
+class TestPlus1Derivation:
+    """c_s must mirror the verify denominator (ADVICE r4): with
+    containment_plus1=False the verify predicate is the strictly weaker
+    common > t*n_small, so boundary pairs with
+    t*n_small < common <= t*(n_small+1) qualify — the prefix length
+    derived from the plus1 formula provably misses them."""
+
+    def _boundary_rows(self):
+        # small doc: 4 tokens (stratum 2), exactly ONE shared with the
+        # large doc. The shared token has df=2, every other small-doc
+        # token df=1, so under (df asc, tok) order the shared token can
+        # sort LAST in the small doc's prefix order — with the plus1
+        # c_s = (4+1)//5 + 1 = 2 the emitted prefix is 3 tokens and the
+        # collision never happens; the no-plus1 c_s = 4//5 + 1 = 1
+        # emits the whole doc.
+        small = ["aaa1", "aaa2", "aaa3", "zshared"]
+        big = ["zshared"] + [f"big{i}" for i in range(29)]
+        return [
+            (1, "en", "web", " ".join(small)),
+            (2, "en", "web", " ".join(big)),
+        ]
+
+    def test_boundary_pair_recalled_with_plus1_false(self, spark):
+        rows = self._boundary_rows()
+        # qualifies under the no-plus1 predicate only: common=1 > 0.8
+        assert _qualifying_pairs_noplus1(rows) == {(1, 2)}
+        assert _qualifying_pairs(rows) == set()
+        got = {
+            (r["doc_a"], r["doc_b"])
+            for r in prefix_filter.candidate_pairs(
+                _doc_tokens(spark, rows), plus1=False
+            ).collect()
+        }
+        assert (1, 2) in got
+
+    def test_exact_recall_random_corpus_plus1_false(self, spark):
+        rng = random.Random(99)
+        rows = []
+        for d in range(100):
+            n = rng.choice([4, 9, 24, 120])
+            words = [f"w{t}" for t in rng.sample(range(1500), k=n)]
+            rows.append((d, "en", "web", " ".join(words)))
+        ref = _qualifying_pairs_noplus1(rows)
+        assert ref
+        cand = {
+            (r["doc_a"], r["doc_b"])
+            for r in prefix_filter.candidate_pairs(
+                _doc_tokens(spark, rows), plus1=False
+            ).collect()
+        }
+        missed = ref - cand
+        assert not missed, f"plus1=False prefix filter missed {sorted(missed)[:5]}"
