@@ -44,10 +44,15 @@ def main() -> int:
         "session_spans",
         "topk_events_per_user",
         "token_stats",
+        "bpe_token_stats",
         "quality_score",
         "langid_heuristic",
+        "doc_fingerprint",
+        "winnow_fingerprints",
         "cosine_topk",
+        "ann_ivf_topk",
         "embedding_norms",
+        "multimodal_features",
         "tpch_pricing_summary",
         "top_revenue_orders",
     ]

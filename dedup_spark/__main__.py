@@ -55,6 +55,13 @@ def main(argv: list[str] | None = None) -> int:
                          "substring pass (1 = every position; default 4 "
                          "≈ minimap2's minimizer density — see "
                          "DedupConfig.anchor_sample_mod)")
+    ap.add_argument("--anchor-source", default="stride",
+                    choices=["stride", "winnow"],
+                    help="substring-pass anchor selection: stride/mod "
+                         "sampling (default, probabilistic seeding) or "
+                         "winnowing/MOSS minima (deterministic guarantee "
+                         "for shared substrings >= anchor_w + "
+                         "winnow_window - 1 at ~equal anchor density)")
     ap.add_argument("--candidate-source", default="banding",
                     choices=["banding", "prefix"],
                     help="candidate generation: MinHash banding (default) "
@@ -77,9 +84,16 @@ def main(argv: list[str] | None = None) -> int:
                          "previously created with --bootstrap: exact-"
                          "equality incremental append (shingle UDF runs "
                          "only on the new data)")
+    ap.add_argument("--remove", metavar="IDS_OR_PATH",
+                    help="conversations to DELETE from a bootstrapped "
+                         "warehouse: a comma-separated conv_id list or a "
+                         "parquet path with a conv_id column. Combinable "
+                         "with --append to express edits (same conv_id in "
+                         "both = replace). Exact-equality incremental "
+                         "removal (takedown/PII-reprocessing path)")
     args = ap.parse_args(argv)
-    if args.append and args.bootstrap:
-        ap.error("--append and --bootstrap are mutually exclusive")
+    if (args.append or args.remove) and args.bootstrap:
+        ap.error("--append/--remove and --bootstrap are mutually exclusive")
 
     from dedup_spark.config import DedupConfig
     from dedup_spark.pipeline import DedupPipeline
@@ -90,33 +104,47 @@ def main(argv: list[str] | None = None) -> int:
         auto_df_band=args.auto_df_band,
         df_band_mode=args.df_band_mode,
         anchor_sample_mod=args.anchor_sample_mod,
+        anchor_source=args.anchor_source,
         candidate_source=args.candidate_source,
         use_simhash_filter=not args.no_simhash_filter,
     )
     spark = get_spark(master=args.master, app_name="dedup_spark_cli")
 
-    if args.append:
+    if args.append or args.remove:
         from dedup_spark.incremental import IncrementalDedup
 
         inc = IncrementalDedup(spark, cfg, args.warehouse)
-        new_turns = spark.read.parquet(args.append)
+        new_turns = spark.read.parquet(args.append) if args.append else None
+        remove = None
+        if args.remove:
+            if os.path.exists(args.remove):
+                remove = spark.read.parquet(args.remove).select("conv_id")
+            else:
+                remove = [c for c in args.remove.split(",") if c]
         spark.range(1_000_000).selectExpr("sum(id)").collect()  # warmup
         t0 = time.monotonic()
-        res = inc.append(new_turns)
+        if args.append and not args.remove:
+            res = inc.append(new_turns)
+        else:
+            res = inc.apply(new_turns=new_turns, remove_conv_ids=remove)
         wall = time.monotonic() - t0
-        n_new_turns = _parquet_rows(args.append)
+        n_new_turns = _parquet_rows(args.append) if args.append else 0
         report = {
-            "mode": "incremental_append",
+            "mode": "incremental_apply",
             "n_new_turns": n_new_turns,
             "n_new_convs": res.n_new_convs,
+            "n_removed_convs": res.n_removed_convs,
             "n_affected_old": res.n_affected_old,
             "n_resigned": res.n_resigned,
             "n_verified_pairs": res.verified_pairs.count(),
             "n_clusters": res.clusters.filter("conv_id = cluster_id").count(),
             "skewed_buckets": res.skew_report.count(),
             "wall_sec": round(wall, 3),
-            "new_turns_per_sec": round(n_new_turns / wall, 1),
+            "new_turns_per_sec": round(n_new_turns / wall, 1) if wall else 0.0,
             "master": spark.sparkContext.master,
+            # non-UDF stage input sizes ∝ (new ∪ affected) — the
+            # delta-cost observability contract
+            "delta_report": res.report,
         }
         line = json.dumps(report)
         print(line)

@@ -123,6 +123,28 @@ class DedupConfig:
                                       # extra shuffle, no extra hashing.
     max_anchor_occ: int = 64          # corpus-wide occurrence cap per suffix
                                       # key (skew guard; capped keys reported)
+    anchor_source: str = "stride"     # how anchor positions are selected:
+                                      # "stride" — every anchor_stride-th
+                                      #   suffix, optionally content-hash
+                                      #   thinned by anchor_sample_mod
+                                      #   (probabilistic span seeding);
+                                      # "winnow" — winnowing / MOSS
+                                      #   selection (Schleimer, Wilkerson
+                                      #   & Aiken, SIGMOD'03): keep the
+                                      #   minimum-hash gram of every
+                                      #   winnow_window consecutive
+                                      #   windows → DETERMINISTIC
+                                      #   guarantee that any shared
+                                      #   substring of length >=
+                                      #   anchor_w + winnow_window − 1 is
+                                      #   seeded, at ~2/(winnow_window+1)
+                                      #   anchor density
+    winnow_window: int = 7            # winnowing window (grams per window);
+                                      # density ≈ 2/(w+1) ≈ 0.25 at 7 —
+                                      # comparable volume to the default
+                                      # anchor_sample_mod=4 CLI path with a
+                                      # deterministic guarantee instead of
+                                      # a probabilistic one
     min_span_len: int = 50            # chained-span report floor (chars)
     suffix_parts: int | None = None   # explicit partition count for the
                                       # suffix-key explode; None → derive
@@ -165,6 +187,10 @@ class DedupConfig:
             )
         if self.candidate_source not in ("banding", "prefix"):
             raise ValueError(f"bad candidate_source {self.candidate_source!r}")
+        if self.anchor_source not in ("stride", "winnow"):
+            raise ValueError(f"bad anchor_source {self.anchor_source!r}")
+        if self.winnow_window < 1:
+            raise ValueError(f"winnow_window must be >= 1, got {self.winnow_window}")
 
     def fingerprint(self) -> str:
         """Stable hash of the config, used to validate checkpoint reuse."""

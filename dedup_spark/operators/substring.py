@@ -82,6 +82,8 @@ def suffix_keys(
     # participate fully (rounds 1-3 excluded them because downstream
     # math was char-based; that gate is gone).
     docs = transcripts.filter(F.octet_length("doc") >= w)
+    if cfg.anchor_source == "winnow":
+        return winnow_keys(docs, cfg, total_chars=total_chars)
     if cfg.suffix_parts is not None:
         n_parts = cfg.suffix_parts
     elif total_chars is not None:
@@ -118,6 +120,78 @@ def suffix_keys(
     if cfg.anchor_sample_mod > 1:
         out = out.filter(F.pmod(F.col("key"), F.lit(cfg.anchor_sample_mod)) == 0)
     return out
+
+
+def winnow_keys(
+    docs: DataFrame, cfg: DedupConfig, total_chars: int | None = None
+) -> DataFrame:
+    """Winnowing / MOSS anchor selection (Schleimer, Wilkerson & Aiken,
+    SIGMOD'03 — public literature): hash every ``anchor_w``-byte gram,
+    slide a window of ``winnow_window`` consecutive gram hashes, keep
+    each window's minimum (leftmost on hash ties — struct-min ordering
+    is deterministic, and ties only occur for identical gram content,
+    whose key is identical anyway). Returns the same (conv_id, pos, key)
+    shape as :func:`suffix_keys`.
+
+    Why this beats stride/mod sampling as the anchor source: selection
+    depends ONLY on local window content, so two documents sharing any
+    substring of length >= anchor_w + winnow_window − 1 are GUARANTEED
+    to select at least one identical (key, aligned-position) anchor —
+    deterministic recall where mod sampling is probabilistic — at the
+    same ~2/(w+1) density (w=7 ≈ the density of the CLI default
+    anchor_sample_mod=4).
+
+    Plan shape: the gram explode repartitions by conv_id HASH so the
+    window's required distribution matches the child's output
+    partitioning — Catalyst elides the window Exchange and the only
+    added cost over the stride path is one in-partition sort plus two
+    window passes (min-struct, then a lag-dedupe: a selected position's
+    covering windows form a contiguous range, so duplicate window
+    minima are consecutive and one lag comparison removes them without
+    a shuffle). Scale caveat (same as any per-document window): one
+    pathological multi-GB document serializes its selection into one
+    task — transcripts are bounded, and the segment-split refinement
+    (winnow windows need only winnow_window-local context, so docs can
+    be winnowed in overlapping chunks) slots in here if that changes."""
+    w, wn = cfg.anchor_w, cfg.winnow_window
+    if cfg.suffix_parts is not None:
+        n_parts = cfg.suffix_parts
+    elif total_chars is not None:
+        min_parts = 2 * docs.sparkSession.sparkContext.defaultParallelism
+        n_parts = int(
+            max(min_parts, min(total_chars // 1_000_000 + 1, 20_000))
+        )
+    else:
+        n_parts = 2 * docs.sparkSession.sparkContext.defaultParallelism
+    grams = (
+        docs.repartition(n_parts, "conv_id")
+        .select("conv_id", F.encode("doc", "UTF-8").alias("b"))
+        .select(
+            "conv_id",
+            "b",
+            F.explode(
+                F.sequence(F.lit(1), F.length("b") - w + 1)
+            ).alias("gpos"),
+        )
+        .select(
+            "conv_id",
+            "gpos",
+            F.expr(f"xxhash64(substring(b, gpos, {w}))").alias("h"),
+        )
+    )
+    ord_win = W.partitionBy("conv_id").orderBy("gpos")
+    sel_win = ord_win.rowsBetween(0, wn - 1)
+    m = F.min(F.struct(F.col("h"), F.col("gpos"))).over(sel_win)
+    return (
+        grams.withColumn("m", m)
+        .withColumn("pm", F.lag("m").over(ord_win))
+        .filter(F.col("pm").isNull() | (F.col("m") != F.col("pm")))
+        .select(
+            "conv_id",
+            F.col("m.gpos").alias("pos"),
+            F.col("m.h").alias("key"),
+        )
+    )
 
 
 def key_occurrence(keys: DataFrame) -> DataFrame:
@@ -317,7 +391,12 @@ def chain_anchors(anchors: DataFrame, cfg: DedupConfig) -> DataFrame:
     reference's match bonus (alignment.py:342-343, match_weight).
     """
     w = cfg.anchor_w
-    step = cfg.anchor_stride * max(1, cfg.anchor_sample_mod)
+    # expected anchor spacing: selection period for the stride path,
+    # the ~2/(w+1)-density mean gap for winnowing (SIGMOD'03 §4)
+    if cfg.anchor_source == "winnow":
+        step = max(1, (cfg.winnow_window + 1) // 2)
+    else:
+        step = cfg.anchor_stride * max(1, cfg.anchor_sample_mod)
     win = W.partitionBy("conv_a", "conv_b").orderBy("a_pos", "b_pos")
     prev_a = F.lag("a_pos").over(win)
     prev_b = F.lag("b_pos").over(win)
