@@ -653,6 +653,67 @@ FROM grams
 """
 
 
+def _q_winnow_anchors(spark, sf_dir):
+    """Winnowing ANCHOR selection — positions + values of the per-window
+    minimum gram (the substring pass's anchor_source="winnow" selection
+    rule, operators/substring.winnow_keys, over the documents table).
+    Unlike winnow_fingerprints (distinct VALUES), this keeps the
+    POSITION of each selected minimum: min(struct(h, pos)) breaks hash
+    ties on the leftmost position in both engines, so the selected
+    (pos, value) set is deterministic and value-hash comparable. Uses
+    the md5-derived 32-bit gram hash both engines compute identically
+    (production winnow_keys uses xxhash64 — same selection logic)."""
+    from pyspark.sql import Window as W
+
+    docs = _read(spark, sf_dir, "documents")
+    grams = (
+        docs.filter(F.octet_length("text") >= _WIN_K)
+        .select("doc_id", F.encode("text", "UTF-8").alias("b"))
+        .select(
+            "doc_id",
+            "b",
+            F.explode(
+                F.sequence(F.lit(1), F.length("b") - _WIN_K + 1)
+            ).alias("pos"),
+        )
+        .select(
+            "doc_id",
+            "pos",
+            F.expr(
+                f"cast(conv(substring(md5(hex(substring(b, pos, {_WIN_K}))), 1, 8), 16, 10) AS bigint)"
+            ).alias("h"),
+        )
+    )
+    win = W.partitionBy("doc_id").orderBy("pos").rowsBetween(0, _WIN_W - 1)
+    m = F.min(F.struct("h", "pos")).over(win)
+    return (
+        grams.withColumn("m", m)
+        .select(
+            "doc_id",
+            F.col("m.pos").alias("anchor_pos"),
+            F.col("m.h").alias("fp"),
+        )
+        .dropDuplicates(["doc_id", "anchor_pos"])
+    )
+
+
+WINNOW_ANCHORS_SQL = f"""
+WITH grams AS (
+  SELECT doc_id, u.i AS pos,
+         ('0x' || substr(md5(substr(hex(encode(text)), 2 * cast(u.i AS int) - 1, {2 * _WIN_K})), 1, 8))::BIGINT AS h
+  FROM documents, unnest(range(1, strlen(text) - {_WIN_K} + 2)) AS u(i)
+  WHERE strlen(text) >= {_WIN_K}
+),
+mins AS (
+  SELECT doc_id,
+         min({{'h': h, 'pos': pos}}) OVER (PARTITION BY doc_id ORDER BY pos
+             ROWS BETWEEN CURRENT ROW AND {_WIN_W - 1} FOLLOWING) AS m
+  FROM grams
+)
+SELECT DISTINCT doc_id, m.pos AS anchor_pos, m.h AS fp FROM mins
+"""
+
+
 def _q_embedding_norms(spark, sf_dir):
     emb = _read(spark, sf_dir, "embeddings")
     vec = F.transform(F.col("embedding"), lambda x: x.cast("double"))
@@ -1928,6 +1989,7 @@ def _langid_sql() -> str:
 
 
 QUERIES["langid_heuristic"] = QuerySpec(_q_langid, _langid_sql())
+QUERIES["winnow_anchors"] = QuerySpec(_q_winnow_anchors, WINNOW_ANCHORS_SQL)
 QUERIES["ann_lsh_topk"] = QuerySpec(
     _q_ann_lsh_topk, QUERIES["cosine_topk"].sql
 )

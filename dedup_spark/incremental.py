@@ -179,6 +179,9 @@ class IncrementalDedup:
         self.pipeline = DedupPipeline(spark, cfg, warehouse)
         self.cat: StageCatalog = self.pipeline.catalog
         self.auto_compact_segments = auto_compact_segments
+        #: df state-probe regime for re-sign lookups: "auto" picks by
+        #: affected fraction; "restricted"/"full" pin a branch (tests)
+        self.df_probe_regime = "auto"
 
     # ------------------------------------------------------------- manifest
 
@@ -266,6 +269,19 @@ class IncrementalDedup:
             out = df if out is None else out.unionByName(df)
         return out
 
+    #: restrict sides below this many rows are broadcast into the state
+    #: semi-join: the big (state-scan) side then never shuffles — the
+    #: difference between a delta-sized probe and re-shuffling the whole
+    #: corpus-sized state table per apply. ~10M int64 keys ≈ 100 MB
+    #: hashed relation: comfortable on the 8g protocol heap and on any
+    #: real executor.
+    BROADCAST_RESTRICT_ROWS = 10_000_000
+
+    def _restrict_hint(self, restrict: DataFrame, n: int | None) -> DataFrame:
+        if n is not None and n <= self.BROADCAST_RESTRICT_ROWS:
+            return F.broadcast(restrict)
+        return restrict
+
     def _resolve_conv(
         self,
         man: dict,
@@ -273,18 +289,25 @@ class IncrementalDedup:
         retired: DataFrame,
         restrict: DataFrame | None = None,
         keep_epoch: bool = False,
+        n_restrict: int | None = None,
     ) -> DataFrame:
         """Current rows of a conv-keyed segmented table: union of
         segments minus retired (conv_id, __e) rows. The anti-join's
         right side is the SMALL retired list (empty in pure-append
         workloads) — map-side, no shuffle of the segment scan.
         ``restrict`` (a conv_id DF) semi-joins first so restricted reads
-        shuffle only matching rows."""
+        shuffle only matching rows; pass its known row count as
+        ``n_restrict`` to let the semi-join broadcast (restrict plans
+        carry no stats, so the planner would otherwise sort-merge the
+        corpus-sized scan)."""
         u = self._seg_union(man, base)
         if u is None:
             raise RuntimeError(f"incremental state table {base} has no segments")
         if restrict is not None:
-            u = u.join(restrict.select("conv_id"), "conv_id", "left_semi")
+            u = u.join(
+                self._restrict_hint(restrict.select("conv_id"), n_restrict),
+                "conv_id", "left_semi",
+            )
         out = u.join(retired, ["conv_id", "__e"], "left_anti")
         return out if keep_epoch else out.drop("__e")
 
@@ -297,6 +320,7 @@ class IncrementalDedup:
         restrict: DataFrame | None = None,
         extra: DataFrame | None = None,
         extra_epoch: int | None = None,
+        n_restrict: int | None = None,
     ) -> DataFrame:
         """Latest-wins resolution of a key→value segmented table
         (df state, bucket sizes): the row from the highest epoch wins
@@ -313,7 +337,10 @@ class IncrementalDedup:
                 )
             )
         if restrict is not None:
-            u = u.join(restrict.select(*key_cols), key_cols, "left_semi")
+            u = u.join(
+                self._restrict_hint(restrict.select(*key_cols), n_restrict),
+                key_cols, "left_semi",
+            )
         return u.groupBy(*key_cols).agg(
             F.max_by(val_col, "__e").alias(val_col)
         )
@@ -408,12 +435,25 @@ class IncrementalDedup:
         equality with a fresh full run over the post-change corpus. An
         edit = the conv_id in BOTH ``remove_conv_ids`` and
         ``new_turns``."""
+        import time
+
         cfg, cat, spark = self.cfg, self.cat, self.spark
         lo, hi = cfg.df_lo, cfg.df_hi
         banding = cfg.candidate_source == "banding"
         man = self._check_state()
         e_new = int(man["epoch"]) + 1
         rpt: dict = {"epoch": e_new}
+        # per-phase wall observability (delta-cost accounting lives and
+        # dies by knowing WHERE an apply spends its time)
+        t_phases: dict[str, float] = {}
+        rpt["t_phases"] = t_phases
+        t_last = time.monotonic()
+
+        def tick(name: str) -> None:
+            nonlocal t_last
+            now = time.monotonic()
+            t_phases[name] = round(now - t_last, 2)
+            t_last = now
 
         # small rewritten tables are eagerly checkpointed so every plan
         # built below survives the fold's rewrites (segment dirs are
@@ -431,13 +471,16 @@ class IncrementalDedup:
             if new_turns is not None else None
         )
 
-        live_ids = self._resolve_conv(
-            man, SEG_SETS, retired_sets
-        ).select("conv_id")
+        # one scan of the sets segments serves the guards AND the CC
+        # node list (live conv ids are tiny — checkpoint, never rescan)
+        live_ids = eager_ckpt(
+            self._resolve_conv(man, SEG_SETS, retired_sets).select("conv_id")
+        )
         self._guard_ids(live_ids, t_new, removed, _append_only)
         n_removed = removed.count() if removed is not None else 0
         n_new = t_new.count() if t_new is not None else 0
         rpt["n_new_convs"], rpt["n_removed_convs"] = n_new, n_removed
+        tick("guards")
 
         empty_convs = spark.createDataFrame([], "conv_id string")
         removed_c = removed if removed is not None else empty_convs
@@ -453,7 +496,8 @@ class IncrementalDedup:
             df_add = spark.createDataFrame([], "shingle long, df long")
         if removed is not None:
             sets_removed = self._resolve_conv(
-                man, SEG_SETS, retired_sets, restrict=removed
+                man, SEG_SETS, retired_sets, restrict=removed,
+                n_restrict=n_removed,
             )
             df_sub = shingling.shingle_document_frequency(
                 shingling.exploded_shingles(sets_removed)
@@ -462,8 +506,11 @@ class IncrementalDedup:
             df_sub = spark.createDataFrame([], "shingle long, df long")
 
         # 2. df delta for TOUCHED shingles only; old totals come from a
-        # shingle-restricted state read, never a full-corpus merge
-        delta = eager_ckpt(
+        # shingle-restricted state read, never a full-corpus merge.
+        # Net-zero rows (an edit removing and re-adding the same
+        # shingle) are kept separately: their df is unchanged but the
+        # re-sign lookup below still needs a state value for them.
+        touched_all = eager_ckpt(
             df_add.withColumnRenamed("df", "d_add")
             .join(df_sub.withColumnRenamed("df", "d_sub"), "shingle", "full_outer")
             .select(
@@ -471,11 +518,14 @@ class IncrementalDedup:
                 (F.coalesce("d_add", F.lit(0)) - F.coalesce("d_sub", F.lit(0))
                  ).alias("d"),
             )
-            .filter(F.col("d") != 0)
         )
+        delta = touched_all.filter(F.col("d") != 0)
+        zero_keys = touched_all.filter(F.col("d") == 0).select("shingle")
         rpt["n_touched_shingles"] = delta.count()
+        tick("shingle_delta")
         df_old_touched = self._resolve_kv(
-            man, SEG_DF, ["shingle"], "df", restrict=delta
+            man, SEG_DF, ["shingle"], "df", restrict=delta,
+            n_restrict=rpt["n_touched_shingles"],
         )
         merged_touched = eager_ckpt(
             delta.join(df_old_touched.withColumnRenamed("df", "df_old"),
@@ -496,23 +546,37 @@ class IncrementalDedup:
             in_band("df") != in_band("df_old")
         ).select("shingle")
         rpt["n_flipped_shingles"] = flipped.count()
+        tick("df_merge")
         survivors_pre = self._resolve_conv(man, SEG_SETS, retired_sets).join(
             removed_c, "conv_id", "left_anti"
         )
         affected_old = eager_ckpt(
             shingling.exploded_shingles(survivors_pre)
-            .join(flipped, "shingle", "left_semi")
+            .join(
+                self._restrict_hint(flipped, rpt["n_flipped_shingles"]),
+                "shingle", "left_semi",
+            )
             .select("conv_id")
             .dropDuplicates()
         )
         n_affected = affected_old.count()
         rpt["n_affected_old"] = n_affected
+        tick("affected_probe")
 
-        # 4. re-sign (affected ∪ new) with df values = state overlaid by
-        # the touched-shingle merge (shingle-restricted reads only)
-        resign_sets = self._resolve_conv(
-            man, SEG_SETS, retired_sets, restrict=affected_old
+        # 4. re-sign (affected ∪ new). The df lookup comes from the
+        # delta merge for every TOUCHED shingle (already computed — no
+        # second state probe for the new batch's millions of shingles);
+        # only the affected convs' untouched shingles plus net-zero edit
+        # shingles — both ∝ affected, typically tiny — read state.
+        # NOT eagerly checkpointed: in the worst case (corpus-wide df
+        # drift) affected ≈ everything, and materializing the full sets
+        # table costs more than letting the two consumers below re-scan
+        # the immutable segments through the broadcast-restricted plan
+        affected_sets = self._resolve_conv(
+            man, SEG_SETS, retired_sets, restrict=affected_old,
+            n_restrict=n_affected,
         ).select("conv_id", "shingles")
+        resign_sets = affected_sets
         if sets_new is not None:
             resign_sets = resign_sets.unionByName(
                 sets_new.select("conv_id", "shingles")
@@ -520,10 +584,49 @@ class IncrementalDedup:
         resign_expl = resign_sets.select(
             "conv_id", F.explode("shingles").alias("shingle")
         )
-        df_for_resign = self._resolve_kv(
-            man, SEG_DF, ["shingle"], "df",
-            restrict=resign_expl.select("shingle").dropDuplicates(),
-            extra=merged_touched.select("shingle", "df"), extra_epoch=e_new,
+        # regime switch: when a small fraction of the corpus re-signs,
+        # restrict the state probe to those convs' shingles; when df
+        # drift is corpus-wide (the synthetic worst case), most keys are
+        # needed anyway and building a corpus-sized restrict set costs
+        # more than one full resolve. df_probe_regime ("auto" | restricted"
+        # | "full") pins the choice — both branches are equality-tested.
+        n_live = live_ids.count()
+        delta_regime = (
+            self.df_probe_regime == "restricted"
+            or (
+                self.df_probe_regime == "auto"
+                and n_affected <= max(1000, n_live // 5)
+            )
+        )
+        if delta_regime:
+            # delta regime: the state probe is restricted to the
+            # affected convs' untouched shingles — a broadcast-sized set
+            untouched_keys = eager_ckpt(
+                affected_sets.select(F.explode("shingles").alias("shingle"))
+                .dropDuplicates()
+                .unionByName(zero_keys)
+                .join(delta, "shingle", "left_anti")
+                .dropDuplicates()
+            )
+            state_part = self._resolve_kv(
+                man, SEG_DF, ["shingle"], "df", restrict=untouched_keys,
+                n_restrict=untouched_keys.count(),
+            )
+        else:
+            # corpus-drift regime (worst case: most conversations
+            # re-sign): most state keys are needed anyway, so one full
+            # resolve beats building and probing a corpus-sized
+            # restrict set; touched keys defer to the merged delta
+            state_part = self._resolve_kv(
+                man, SEG_DF, ["shingle"], "df"
+            ).join(
+                self._restrict_hint(
+                    delta.select("shingle"), rpt["n_touched_shingles"]
+                ),
+                "shingle", "left_anti",
+            )
+        df_for_resign = merged_touched.select("shingle", "df").unionByName(
+            state_part
         )
         resign_informative = shingling.informative_shingle_sets(
             resign_expl, df_for_resign, lo, hi
@@ -531,11 +634,13 @@ class IncrementalDedup:
         resigned = eager_ckpt(lsh.compute_signatures(resign_informative, cfg))
         n_resigned = resigned.count()
         rpt["n_resigned"] = n_resigned
+        tick("resign")
 
         # convs whose sig-cadence rows retire: re-signed olds + removed
         sig_gone = affected_old.unionByName(removed_c).dropDuplicates()
         sigs_retired_rows = self._resolve_conv(
-            man, SEG_SIGS, retired_sigs, restrict=sig_gone, keep_epoch=True
+            man, SEG_SIGS, retired_sigs, restrict=sig_gone, keep_epoch=True,
+            n_restrict=n_affected + n_removed,
         ).select("conv_id", "__e")
 
         added_convs = (
@@ -562,16 +667,18 @@ class IncrementalDedup:
         cand_changed = eager_ckpt(cand_changed)
         rpt["n_changed_convs"] = changed.count()
         rpt["n_candidate_pairs"] = cand_changed.count()
+        tick("candidates")
 
         # 5. verify only changed-touching candidates; signatures come
         # from a conv-restricted state read spliced with the re-signed
-        pair_convs = (
+        pair_convs = eager_ckpt(
             cand_changed.select(F.col("conv_a").alias("conv_id"))
             .unionByName(cand_changed.select(F.col("conv_b").alias("conv_id")))
             .dropDuplicates()
         )
         sigs_lookup = self._resolve_conv(
-            man, SEG_SIGS, retired_sigs, restrict=pair_convs
+            man, SEG_SIGS, retired_sigs, restrict=pair_convs,
+            n_restrict=pair_convs.count(),
         ).join(sig_gone, "conv_id", "left_anti").unionByName(
             resigned.join(pair_convs, "conv_id", "left_semi")
         )
@@ -590,10 +697,12 @@ class IncrementalDedup:
             )
         )
         rpt["n_verified_pairs"] = verified_all.count()
+        tick("verify")
 
         # 6. clusters + emit over the post-change corpus (edges are
-        # small; emit reads immutable turn segments lazily)
-        nodes = survivors_pre.select("conv_id").unionByName(
+        # small; emit reads immutable turn segments lazily). Nodes come
+        # from the checkpointed live-id list — no segment rescan.
+        nodes = live_ids.join(removed_c, "conv_id", "left_anti").unionByName(
             added_convs
         ).dropDuplicates()
         clusters = eager_ckpt(
@@ -602,6 +711,7 @@ class IncrementalDedup:
                 cfg.cc_max_iters,
             )
         )
+        tick("clusters")
         turns_post = self._resolve_conv(
             man, SEG_TURNS, retired_sets
         ).join(removed_c, "conv_id", "left_anti")
@@ -671,6 +781,7 @@ class IncrementalDedup:
             "segments": new_segs,
             "min_stratum": min_strat,
         })
+        tick("fold")
 
         if (
             self.auto_compact_segments
@@ -714,8 +825,11 @@ class IncrementalDedup:
         bkey = ["band_id", "band_hash"]
 
         bands_added = eager_ckpt(lsh.explode_bands(resigned))
+        sig_gone = eager_ckpt(sig_gone)
+        n_gone = sig_gone.count()
         bands_gone = self._resolve_conv(
-            man, SEG_BANDS, retired_sigs, restrict=sig_gone
+            man, SEG_BANDS, retired_sigs, restrict=sig_gone,
+            n_restrict=n_gone,
         )
         sz_delta = eager_ckpt(
             lsh.band_bucket_sizes(bands_added)
@@ -734,7 +848,8 @@ class IncrementalDedup:
         )
         rpt["n_touched_buckets"] = sz_delta.count()
         sz_old_touched = self._resolve_kv(
-            man, SEG_SIZES, bkey, "bucket_size", restrict=sz_delta
+            man, SEG_SIZES, bkey, "bucket_size", restrict=sz_delta,
+            n_restrict=rpt["n_touched_buckets"],
         )
         sz_touched = eager_ckpt(
             sz_delta.join(
@@ -759,7 +874,10 @@ class IncrementalDedup:
         # members (old index ∪ new rows) of crossing buckets, survivors only
         old_members = (
             self._seg_union(man, SEG_BANDS)
-            .join(crossing, bkey, "left_semi")
+            .join(
+                self._restrict_hint(crossing, rpt["n_tier_crossing_buckets"]),
+                bkey, "left_semi",
+            )
             .join(retired_sigs, ["conv_id", "__e"], "left_anti")
             .select("conv_id")
         )
@@ -779,20 +897,31 @@ class IncrementalDedup:
         # post-apply band index restricted to the buckets changed convs
         # occupy: tier decisions come from GLOBAL (state-maintained)
         # sizes, pair volume from changed convs' bucket membership
+        n_changed = changed.count()
+        rpt["n_changed_convs"] = n_changed
         bands_post_all = self._resolve_conv(
             man, SEG_BANDS, retired_sigs
-        ).join(sig_gone, "conv_id", "left_anti").unionByName(bands_added)
+        ).join(
+            self._restrict_hint(sig_gone, n_gone), "conv_id", "left_anti"
+        ).unionByName(bands_added)
         changed_buckets = eager_ckpt(
-            bands_post_all.join(changed, "conv_id", "left_semi")
+            bands_post_all.join(
+                self._restrict_hint(changed, n_changed),
+                "conv_id", "left_semi",
+            )
             .select(*bkey)
             .dropDuplicates()
         )
         rpt["n_changed_buckets"] = changed_buckets.count()
-        bands_restricted = bands_post_all.join(changed_buckets, bkey, "left_semi")
+        bands_restricted = bands_post_all.join(
+            self._restrict_hint(changed_buckets, rpt["n_changed_buckets"]),
+            bkey, "left_semi",
+        )
         sizes_restricted = self._resolve_kv(
             man, SEG_SIZES, bkey, "bucket_size",
             restrict=changed_buckets,
             extra=sz_touched.select(*bkey, "bucket_size"), extra_epoch=e_new,
+            n_restrict=rpt["n_changed_buckets"],
         )
         cand_changed = lsh.candidate_pairs(
             bands_restricted, sizes_restricted, cfg, left_convs=changed
@@ -891,8 +1020,14 @@ class IncrementalDedup:
             F.col("conv_id").alias("conv_b"), F.col("s_own").alias("sb"),
             F.col("rem").alias("rem_b"), "s", "tok",
         )
+        # the changed-side emit is delta-sized: broadcasting it keeps the
+        # corpus-wide probe explode a map-side hash lookup (no shuffle of
+        # the probe rows). Lower threshold than _restrict_hint — these
+        # rows are 6 columns wide, not a bare key.
+        n_a = a.count()
+        a_side = F.broadcast(a) if n_a <= 2_000_000 else a
         pairs = (
-            a.join(b, ["s", "tok"])
+            a_side.join(b, ["s", "tok"])
             .filter(
                 (F.col("conv_a") != F.col("conv_b"))
                 # a pair meets ONLY in the smaller side's own stratum

@@ -645,3 +645,35 @@ class TestDeltaProportionalReport:
         assert ("o3", "q0") in _pairs(res.verified_pairs)
         assert _pairs(res.verified_pairs) == _pairs(full.verified_pairs)
         assert _clusters(res.clusters) == _clusters(full.clusters)
+
+
+class TestFullDfProbeRegime:
+    """The corpus-drift df-probe branch (df_probe_regime='full', the
+    auto choice when most of the corpus re-signs) must be exactly equal
+    to the restricted branch — same fixture as TestDfDriftResign."""
+
+    def test_full_probe_equality(self, spark, tmp_path_factory):
+        rng = np.random.Generator(np.random.PCG64(55))
+
+        def seg(n):
+            return "".join(chr(97 + c) for c in rng.integers(0, 26, size=n))
+
+        sA, sC = seg(300), seg(300)
+        old = {
+            **{f"q{i}": [sA, seg(60)] for i in range(4)},
+            "lone": [sC, seg(80)],
+        }
+        new = {"zq_new": [sA, seg(65)], "zc_new": [sC, seg(75)]}
+        cfg = DedupConfig()
+        full = DedupPipeline(
+            spark, cfg, str(tmp_path_factory.mktemp("wh_fp_f"))
+        ).run(_turns_df(spark, {**old, **new}))
+        inc = IncrementalDedup(
+            spark, cfg, str(tmp_path_factory.mktemp("wh_fp_i"))
+        )
+        inc.df_probe_regime = "full"
+        inc.bootstrap(_turns_df(spark, old))
+        res = inc.append(_turns_df(spark, new))
+        assert _pairs(res.verified_pairs) == _pairs(full.verified_pairs)
+        assert _clusters(res.clusters) == _clusters(full.clusters)
+        assert ("lone", "zc_new") in _pairs(res.verified_pairs)
