@@ -150,6 +150,22 @@ class DedupConfig:
                                       # suffix-key explode; None → derive
                                       # from total_chars when the caller
                                       # supplies it, else 2×parallelism
+    anchor_chunk_grams: int = 262144  # gram positions per anchor chunk: a
+                                      # document's ×doc_len gram explode
+                                      # (and, for anchor_source="winnow",
+                                      # its per-doc window pass) is split
+                                      # into byte-sliced chunks of this
+                                      # many positions BEFORE the shuffle,
+                                      # so a pathological multi-GB doc
+                                      # parallelizes across ⌈grams/C⌉
+                                      # tasks instead of serializing into
+                                      # one. Output is byte-identical at
+                                      # any setting (winnow chunks overlap
+                                      # by winnow_window−1 grams; stride
+                                      # chunks are aligned to the stride).
+                                      # 256 Ki grams ≈ 256 KiB slices —
+                                      # transcripts fit one chunk, so the
+                                      # default adds no overhead there
 
     # --- scale / skew handling ---
     max_band_bucket: int = 200   # LSH bucket size above which the self-join
@@ -191,6 +207,11 @@ class DedupConfig:
             raise ValueError(f"bad anchor_source {self.anchor_source!r}")
         if self.winnow_window < 1:
             raise ValueError(f"winnow_window must be >= 1, got {self.winnow_window}")
+        if self.anchor_chunk_grams < max(self.winnow_window, self.anchor_stride):
+            raise ValueError(
+                f"anchor_chunk_grams ({self.anchor_chunk_grams}) must be >= "
+                f"max(winnow_window, anchor_stride)"
+            )
 
     def fingerprint(self) -> str:
         """Stable hash of the config, used to validate checkpoint reuse."""

@@ -99,17 +99,31 @@ def suffix_keys(
     # 40× slower on ~9k-char docs. Binary substring is a byte-indexed
     # O(w) slice. Positions are 1-based byte offsets of the UTF-8
     # encoding (the pass's universal coordinate system).
+    #
+    # Chunked two-level explode: the ×doc_len gram enumeration of ONE
+    # document is split across ⌈grams/chunk⌉ byte-sliced chunks before
+    # the shuffle, so a pathological multi-GB doc parallelizes instead
+    # of serializing its whole explode into one task. The chunk size is
+    # rounded up to a stride multiple, so chunk bases stay ≡ 0 (mod
+    # stride) and the per-chunk sequence(1, ·, stride) selects exactly
+    # the global stride grid — output identical at any chunk size.
+    chunk = -(-cfg.anchor_chunk_grams // stride) * stride
     out = (
-        docs.repartition(n_parts)
-        .select("conv_id", F.encode("doc", "UTF-8").alias("b"))
+        _chunk_slices(docs, w, chunk, lookahead=0)
+        .repartition(n_parts, "conv_id", "ck")
         .select(
             "conv_id",
-            "b",
+            "base",
+            "bs",
             F.explode(
-                F.sequence(F.lit(1), F.length("b") - w + 1, F.lit(stride))
-            ).alias("pos"),
+                F.sequence(F.lit(1), F.length("bs") - w + 1, F.lit(stride))
+            ).alias("i"),
         )
-        .select("conv_id", "pos", F.expr(f"xxhash64(substring(b, pos, {w}))").alias("key"))
+        .select(
+            "conv_id",
+            (F.col("base") + F.col("i")).alias("pos"),
+            F.expr(f"xxhash64(substring(bs, i, {w}))").alias("key"),
+        )
     )
     # Content-hash anchor sampling (cfg.anchor_sample_mod > 1): both docs
     # keep the same positions inside shared content because the predicate
@@ -120,6 +134,35 @@ def suffix_keys(
     if cfg.anchor_sample_mod > 1:
         out = out.filter(F.pmod(F.col("key"), F.lit(cfg.anchor_sample_mod)) == 0)
     return out
+
+
+def _chunk_slices(docs: DataFrame, w: int, chunk: int, lookahead: int) -> DataFrame:
+    """doc → one row per gram chunk: ``ck`` (chunk index), ``base``
+    (0-based gram offset = ck·chunk, bigint — multi-GB-doc safe) and
+    ``bs`` — the byte slice that serves gram starts base+1..base+chunk
+    plus ``lookahead`` further grams (the winnow window's tail context).
+    The slice is cut BEFORE the shuffle, so a document's bytes cross the
+    wire once (+ (w−1+lookahead) bytes of overlap per chunk), never per
+    gram; the per-chunk gram explode then fuses into the post-shuffle
+    codegen stage. Callers filter octet_length(doc) >= w, so every doc
+    yields >= 1 chunk."""
+    n_chunks = F.ceil((F.length("b") - F.lit(w - 1)) / F.lit(chunk)).cast("int")
+    return (
+        docs.select("conv_id", F.encode("doc", "UTF-8").alias("b"))
+        .select(
+            "conv_id",
+            "b",
+            F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("ck"),
+        )
+        .select(
+            "conv_id",
+            "ck",
+            (F.col("ck").cast("bigint") * chunk).alias("base"),
+            F.expr(
+                f"substring(b, ck * {chunk} + 1, {chunk + lookahead + w - 1})"
+            ).alias("bs"),
+        )
+    )
 
 
 def winnow_keys(
@@ -141,19 +184,21 @@ def winnow_keys(
     same ~2/(w+1) density (w=7 ≈ the density of the CLI default
     anchor_sample_mod=4).
 
-    Plan shape: the gram explode repartitions by conv_id HASH so the
-    window's required distribution matches the child's output
-    partitioning — Catalyst elides the window Exchange and the only
-    added cost over the stride path is one in-partition sort plus two
-    window passes (min-struct, then a lag-dedupe: a selected position's
-    covering windows form a contiguous range, so duplicate window
-    minima are consecutive and one lag comparison removes them without
-    a shuffle). Scale caveat (same as any per-document window): one
-    pathological multi-GB document serializes its selection into one
-    task — transcripts are bounded, and the segment-split refinement
-    (winnow windows need only winnow_window-local context, so docs can
-    be winnowed in overlapping chunks) slots in here if that changes."""
+    Plan shape: docs are cut into gram CHUNKS of ``anchor_chunk_grams``
+    positions overlapping by winnow_window − 1 grams (window minima
+    need only window-local context — the SIGMOD'03 locality property),
+    shuffled on (conv_id, chunk), and each chunk runs its own window
+    pass — so even a pathological multi-GB document parallelizes across
+    ⌈grams/chunk⌉ tasks instead of serializing its selection into one.
+    A window STARTING in a chunk sees exactly the grams the unchunked
+    pass would (the overlap supplies its tail; end-of-doc windows stay
+    partial in both), so the selected (pos, key) set is byte-identical
+    at any chunk size; the same selection reached from two adjacent
+    chunks (a minimum inside the overlap) and from consecutive windows
+    within a chunk dedupes in one distinct over the winnowed-density
+    output (~2/(winnow_window+1) of the grams)."""
     w, wn = cfg.anchor_w, cfg.winnow_window
+    chunk = max(cfg.anchor_chunk_grams, wn)
     if cfg.suffix_parts is not None:
         n_parts = cfg.suffix_parts
     elif total_chars is not None:
@@ -164,33 +209,41 @@ def winnow_keys(
     else:
         n_parts = 2 * docs.sparkSession.sparkContext.defaultParallelism
     grams = (
-        docs.repartition(n_parts, "conv_id")
-        .select("conv_id", F.encode("doc", "UTF-8").alias("b"))
+        _chunk_slices(docs, w, chunk, lookahead=wn - 1)
+        .repartition(n_parts, "conv_id", "ck")
         .select(
             "conv_id",
-            "b",
+            "ck",
+            "base",
+            "bs",
             F.explode(
-                F.sequence(F.lit(1), F.length("b") - w + 1)
-            ).alias("gpos"),
+                F.sequence(F.lit(1), F.length("bs") - w + 1)
+            ).alias("i"),
         )
         .select(
             "conv_id",
-            "gpos",
-            F.expr(f"xxhash64(substring(b, gpos, {w}))").alias("h"),
+            "ck",
+            "base",
+            (F.col("base") + F.col("i")).alias("gpos"),
+            F.expr(f"xxhash64(substring(bs, i, {w}))").alias("h"),
         )
     )
-    ord_win = W.partitionBy("conv_id").orderBy("gpos")
-    sel_win = ord_win.rowsBetween(0, wn - 1)
+    sel_win = (
+        W.partitionBy("conv_id", "ck").orderBy("gpos").rowsBetween(0, wn - 1)
+    )
     m = F.min(F.struct(F.col("h"), F.col("gpos"))).over(sel_win)
     return (
         grams.withColumn("m", m)
-        .withColumn("pm", F.lag("m").over(ord_win))
-        .filter(F.col("pm").isNull() | (F.col("m") != F.col("pm")))
+        # emit only windows STARTING in the chunk proper — overlap rows
+        # exist to complete this chunk's window tails; their own windows
+        # belong to (and are emitted by) the next chunk
+        .filter(F.col("gpos") <= F.col("base") + chunk)
         .select(
             "conv_id",
             F.col("m.gpos").alias("pos"),
             F.col("m.h").alias("key"),
         )
+        .dropDuplicates(["conv_id", "pos", "key"])
     )
 
 

@@ -631,3 +631,93 @@ class TestWinnowAnchors:
         r2 = sorted(map(tuple, substring.suffix_keys(
             _docs_df(spark, docs).repartition(7), self.WIN_CFG).collect()))
         assert r1 == r2
+
+
+class TestChunkedAnchors:
+    """The chunked two-level gram explode (anchor_chunk_grams) must be
+    byte-identical to the one-chunk plan at ANY chunk size — it's a
+    physical parallelization of one document's gram enumeration, not a
+    semantic knob. Tiny chunks force many boundaries per doc."""
+
+    def _keys(self, spark, docs, **cfg_kw):
+        cfg = DedupConfig(
+            anchor_w=8, min_span_len=20, max_gap=50, end_buffer=30,
+            min_doc_len=0, **cfg_kw,
+        )
+        return sorted(
+            (r["conv_id"], int(r["pos"]), int(r["key"]))
+            for r in substring.suffix_keys(_docs_df(spark, docs), cfg).collect()
+        )
+
+    def test_stride_chunked_equals_unchunked(self, spark):
+        rng = np.random.Generator(np.random.PCG64(40))
+        docs = {f"d{i}": _rand_text(rng, int(rng.integers(5, 700)))
+                for i in range(8)}
+        big = self._keys(spark, docs, anchor_chunk_grams=1 << 20)
+        for chunk in (17, 64, 100):
+            assert self._keys(spark, docs, anchor_chunk_grams=chunk) == big
+
+    def test_stride_gt1_alignment_across_chunks(self, spark):
+        """Chunk bases stay on the stride grid (chunk rounded up to a
+        stride multiple), so stride>1 selects the same global positions
+        regardless of chunking — including a chunk size that is NOT a
+        stride multiple before rounding."""
+        rng = np.random.Generator(np.random.PCG64(41))
+        docs = {"a": _rand_text(rng, 613), "b": _rand_text(rng, 309)}
+        for stride in (2, 3, 5):
+            big = self._keys(
+                spark, docs, anchor_stride=stride, anchor_chunk_grams=1 << 20
+            )
+            small = self._keys(
+                spark, docs, anchor_stride=stride, anchor_chunk_grams=50
+            )
+            assert small == big
+            # stride grid: all positions ≡ 1 (mod stride)
+            assert all(p % stride == 1 % stride for _, p, _ in small)
+
+    def test_sample_mod_composes_with_chunking(self, spark):
+        rng = np.random.Generator(np.random.PCG64(42))
+        docs = {"a": _rand_text(rng, 800)}
+        big = self._keys(
+            spark, docs, anchor_sample_mod=4, anchor_chunk_grams=1 << 20
+        )
+        assert self._keys(
+            spark, docs, anchor_sample_mod=4, anchor_chunk_grams=37
+        ) == big
+
+    def test_winnow_chunked_equals_unchunked(self, spark):
+        """Winnow chunks overlap by winnow_window−1 grams, so every
+        window sees the same grams as the one-chunk pass — selected
+        (pos, key) sets must match exactly, including minima that land
+        INSIDE an overlap region (selected from both sides)."""
+        rng = np.random.Generator(np.random.PCG64(43))
+        docs = {f"d{i}": _rand_text(rng, int(rng.integers(8, 900)))
+                for i in range(8)}
+        kw = dict(anchor_source="winnow", winnow_window=7)
+        big = self._keys(spark, docs, anchor_chunk_grams=1 << 20, **kw)
+        for chunk in (7, 23, 96):
+            assert self._keys(spark, docs, anchor_chunk_grams=chunk, **kw) == big
+
+    def test_winnow_guarantee_across_chunk_boundary(self, spark):
+        """A shared substring planted to STRADDLE a chunk boundary in
+        one doc (and sit mid-chunk in the other) still shares an anchor
+        — the MOSS guarantee survives chunking."""
+        rng = np.random.Generator(np.random.PCG64(44))
+        cfg = DedupConfig(
+            anchor_w=8, min_span_len=20, max_gap=50, end_buffer=30,
+            min_doc_len=0, anchor_source="winnow", winnow_window=7,
+            anchor_chunk_grams=64,
+        )
+        shared = _rand_text(rng, 40)
+        # place the shared run so it crosses gram position 64 in doc a
+        a = _rand_text(rng, 50) + shared + _rand_text(rng, 60)
+        b = _rand_text(rng, 200) + shared
+        rows = substring.suffix_keys(_docs_df(spark, {"a": a, "b": b}), cfg).collect()
+        keys_a = {r["key"] for r in rows if r["conv_id"] == "a"}
+        keys_b = {r["key"] for r in rows if r["conv_id"] == "b"}
+        assert keys_a & keys_b
+
+    def test_chunk_grams_validated(self):
+        with pytest.raises(ValueError):
+            DedupConfig(anchor_source="winnow", winnow_window=9,
+                        anchor_chunk_grams=8)
