@@ -49,6 +49,7 @@ def main() -> int:
         "langid_heuristic",
         "doc_fingerprint",
         "winnow_fingerprints",
+        "winnow_anchors",
         "cosine_topk",
         "ann_ivf_topk",
         "embedding_norms",
@@ -62,6 +63,18 @@ def main() -> int:
     # whichever query happens to run first.
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     QUERIES["turns_from_documents"].spark_fn(spark, sf_dir).count()
+
+    # Hardware calibration anchor: a fixed zero-shuffle zero-Python
+    # codegen loop, so bench runs from different boots of this shared
+    # sandbox are comparable (its raw compute throughput varies ~2×
+    # boot-to-boot — measured round 5; query walls divided by this
+    # anchor are boot-invariant).
+    t0 = time.monotonic()
+    spark.range(0, 2_000_000_000, 1, 64).selectExpr(
+        "sum(xxhash64(id) % 1000000)"
+    ).collect()
+    raw_compute_sec = round(time.monotonic() - t0, 3)
+    print(f"# raw_compute anchor: {raw_compute_sec}s", file=sys.stderr)
 
     timings: dict[str, float] = {}
     rows: dict[str, int] = {}
@@ -88,6 +101,7 @@ def main() -> int:
         "containment_candidates_rows": rows.get("containment_lsh_candidates", 0),
         "verified_token_pairs_rows": rows.get("verified_token_pairs", 0),
         "possible_pairs": n_docs * (n_docs - 1) // 2,
+        "raw_compute_sec": raw_compute_sec,
     }
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]

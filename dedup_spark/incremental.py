@@ -753,7 +753,8 @@ class IncrementalDedup:
         em = {"epoch": e_new}
         sets_retired_rows = (
             self._resolve_conv(
-                man, SEG_SETS, retired_sets, restrict=removed, keep_epoch=True
+                man, SEG_SETS, retired_sets, restrict=removed,
+                keep_epoch=True, n_restrict=n_removed,
             ).select("conv_id", "__e")
             if removed is not None
             else spark.createDataFrame([], "conv_id string, __e int")
