@@ -51,8 +51,10 @@ def main() -> int:
         "winnow_fingerprints",
         "winnow_anchors",
         "cosine_topk",
+        "ann_lsh_topk",
         "ann_ivf_topk",
         "embedding_norms",
+        "embedding_neardup_pairs",
         "multimodal_features",
         "tpch_pricing_summary",
         "top_revenue_orders",
